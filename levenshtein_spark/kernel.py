@@ -1,0 +1,307 @@
+"""Vectorized banded OSA / Levenshtein kernel (NumPy, no Spark imports).
+
+This is the heart of the engine: a batch-vectorized re-expression of the
+reference's two-row banded DP (rljacobson/Levenshtein,
+``src/bounded_edit_dist_t.cpp:102-285``). Instead of one pair at a time in a
+single thread, we advance the DP for a whole Arrow batch of pairs in lockstep:
+one NumPy "band matrix" of shape (batch, 2K+1) per DP row, where K is the
+largest effective cap in the batch. The per-row left-neighbour dependency
+(``D[i][j-1] + 1``) — which makes the classic inner loop sequential — is
+resolved with a min-plus prefix scan::
+
+    D[i][j] = min_{t <= j} ( cand[t] + (j - t) )
+            = arange(j) + cummin( cand - arange )
+
+so every DP row costs O(1) NumPy ops over the (batch, band) plane.
+
+Reference semantics reproduced exactly (see SURVEY.md §2.2, each pinned by
+tests/test_kernel_vectors.py):
+
+* OSA (restricted Damerau–Levenshtein): transposition drawn from
+  ``dp[i-2][j-2] + cost`` where ``cost`` is the substitution cost of the
+  *current* pair (``src/edit_dist_t_2d.cpp:110-121``). ``OSA("CA","ABC")==3``.
+* Distances are over UTF-8 **bytes**, case-sensitive (``ReadMe.md:50-53``).
+* NULL argument → return ``max(len(a), len(b))`` directly, treating NULL as
+  length 0 and bypassing the cap (``src/prealgorithm.h:17-23``).
+* Empty shorter string → return the longer length directly, *before* the cap
+  check (``src/prealgorithm.h:69-75``) — so ``bounded("", "abcdefg", 3) == 7``.
+* Effective cap ``k_eff = min(k, max(len(a), len(b)))``
+  (``src/bounded_edit_dist_t.cpp:113`` + ``src/validate_max.h:19``).
+* Length-difference early exit: ``|len(a)-len(b)| > k_eff`` → ``k_eff + 1``
+  (``src/prealgorithm.h:77-86``).
+* Bounded convention: distance provably > k_eff → return exactly ``k_eff + 1``
+  (``src/bounded_edit_dist_t.cpp:284``: ``return min(max+1, current_cell)``).
+* Similarity = ``max(0, 1 - dist/m)`` with ``m = max(len(a), len(b))``, floored
+  at ``max(0, 1 - (k_eff+1)/m)``, with cap derived as
+  ``k = int((1-p) * m)`` (``src/similarity_t.cpp:56-58,118,141-142,284-290``).
+
+Deliberate, documented deviations (SURVEY.md §2.2 item 9):
+
+* No 4096-byte working-buffer cap, hence no silent ``return 0`` on overflow
+  (``src/edit_dist_t.cpp:115-121``); callers normalize with an explicit
+  content-prefix column instead.
+* ``similarity_batch`` keeps the distance→similarity formula for NULL/empty
+  inputs rather than reproducing the C library's accidental
+  "return a raw distance as a double" behaviour on those exits.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+# Large-but-safe sentinel: int32 arithmetic adds at most +1 per DP row and we
+# clamp string lengths well below this, so INF never overflows.
+_INF = np.int32(1 << 20)
+
+# Cap on cells per chunk: bounds peak memory at ~3 band matrices x 4 bytes.
+_CHUNK_CELL_BUDGET = 1 << 22
+
+
+def _to_bytes(v: Union[str, bytes, None]) -> Optional[bytes]:
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return v
+    if isinstance(v, float) and np.isnan(v):  # pandas NaN nulls
+        return None
+    return str(v).encode("utf-8")
+
+
+def batch_edit_distance(
+    a: Sequence[Union[str, bytes, None]],
+    b: Sequence[Union[str, bytes, None]],
+    k: Union[None, int, Sequence[Optional[int]], np.ndarray] = None,
+    transpositions: bool = True,
+) -> np.ndarray:
+    """Edit distance for a batch of pairs; returns int64 array.
+
+    ``k=None`` (or a per-pair None / negative sentinel) = unbounded.
+    ``transpositions=True`` gives OSA (``edit_dist_t`` /
+    ``bounded_edit_dist_t``), ``False`` plain Levenshtein (``edit_dist`` /
+    ``bounded_edit_dist``).
+    """
+    a_b = [_to_bytes(x) for x in a]
+    b_b = [_to_bytes(x) for x in b]
+    n_pairs = len(a_b)
+    if len(b_b) != n_pairs:
+        raise ValueError("a and b must have equal length")
+
+    la = np.fromiter((0 if x is None else len(x) for x in a_b), np.int64, n_pairs)
+    lb = np.fromiter((0 if x is None else len(x) for x in b_b), np.int64, n_pairs)
+    null_mask = np.fromiter(
+        ((x is None) or (y is None) for x, y in zip(a_b, b_b)), bool, n_pairs
+    )
+
+    m_len = np.maximum(la, lb)  # longer
+    n_len = np.minimum(la, lb)  # shorter
+
+    # Effective cap: min(user k, max(len)). prealgorithm + validate_max.h.
+    if k is None:
+        keff = m_len.copy()
+    else:
+        karr = np.asarray(k)
+        if karr.ndim == 0:
+            karr = np.full(n_pairs, int(karr), np.int64)
+        else:
+            karr = np.array(
+                [(-1 if (v is None or (isinstance(v, float) and np.isnan(v))) else int(v)) for v in karr],
+                np.int64,
+            )
+        unbounded = karr < 0
+        if (karr[~unbounded & (karr < 0)]).size:  # pragma: no cover - sentinel guard
+            raise ValueError("maximum edit distance cannot be negative")
+        keff = np.where(unbounded, m_len, np.minimum(karr, m_len))
+
+    res = np.full(n_pairs, -1, np.int64)
+
+    # NULL exit: max(len) directly, cap bypassed (prealgorithm.h:17-23).
+    res[null_mask] = m_len[null_mask]
+    # Empty shorter string exit: longer length, cap bypassed (prealgorithm.h:69-75).
+    empty_mask = (~null_mask) & (n_len == 0)
+    res[empty_mask] = m_len[empty_mask]
+    # Length-difference exit (prealgorithm.h:77-86).
+    ldiff_mask = (res < 0) & ((m_len - n_len) > keff)
+    res[ldiff_mask] = keff[ldiff_mask] + 1
+    # Identical strings short-circuit (free and exact: distance 0).
+    todo = np.flatnonzero(res < 0)
+    same = np.fromiter((a_b[i] == b_b[i] for i in todo), bool, todo.size)
+    res[todo[same]] = 0
+    todo = todo[~same]
+    if todo.size == 0:
+        return res
+
+    # Swap so subject = shorter string per pair (prealgorithm.h:60-63).
+    subj = [a_b[i] if la[i] <= lb[i] else b_b[i] for i in todo]
+    quer = [b_b[i] if la[i] <= lb[i] else a_b[i] for i in todo]
+
+    # Process in chunks ordered by query length so band width and padding are
+    # sized per chunk, not by the global worst case.
+    order = np.argsort(m_len[todo], kind="stable")
+    pos = 0
+    while pos < order.size:
+        # Grow chunk until the (rows x band-width) cell budget is hit.
+        # Memory per chunk is ~3 band matrices of (rows x W) int32; the DP
+        # loop length is the chunk's max subject length, so sorting by query
+        # length keeps chunks length-homogeneous and the lockstep efficient.
+        first = order[pos]
+        k0 = int(keff[todo[first]])
+        end = pos
+        while end < order.size:
+            i = order[end]
+            w = 2 * max(k0, int(keff[todo[i]])) + 1
+            rows = end - pos + 1
+            if rows > 1 and rows * w > _CHUNK_CELL_BUDGET:
+                break
+            k0 = max(k0, int(keff[todo[i]]))
+            end += 1
+        sel = order[pos:end]
+        pos = end
+        idx = todo[sel]
+        dist = _dp_band_chunk(
+            [subj[s] for s in sel],
+            [quer[s] for s in sel],
+            n_len[idx],
+            m_len[idx],
+            keff[idx],
+            transpositions,
+        )
+        res[idx] = np.minimum(keff[idx] + 1, dist)
+
+    return res
+
+
+def _dp_band_chunk(
+    subj: list,
+    quer: list,
+    n_len: np.ndarray,
+    m_len: np.ndarray,
+    keff: np.ndarray,
+    transpositions: bool,
+) -> np.ndarray:
+    """Lockstep banded DP over one chunk. Returns raw distances (may exceed keff)."""
+    bsz = len(subj)
+    n_max = int(n_len.max())
+    m_max = int(m_len.max())
+    K = int(keff.max())
+    K = min(K, m_max)  # band never needs to exceed the longest string
+    W = 2 * K + 1
+
+    # Padded byte matrices.
+    S = np.zeros((bsz, n_max), np.uint8)
+    Q = np.zeros((bsz, m_max), np.uint8)
+    for r, (s, q) in enumerate(zip(subj, quer)):
+        S[r, : len(s)] = np.frombuffer(s, np.uint8)
+        Q[r, : len(q)] = np.frombuffer(q, np.uint8)
+
+    o = np.arange(W, dtype=np.int64)
+    keff32 = keff.astype(np.int32)
+    m32 = m_len.astype(np.int32)[:, None]
+
+    # Row 0: D[0][j] = j for j in [0, m], INF outside band/matrix.
+    j0 = o - K
+    band_prev = np.where((j0 >= 0) & (j0 <= m32), j0, _INF).astype(np.int32)
+    band_prev2 = np.full((bsz, W), _INF, np.int32)
+    prev_min = band_prev.min(axis=1)
+    prev2_min = np.full(bsz, _INF, np.int32)
+
+    result = np.full(bsz, -1, np.int64)
+    active = np.ones(bsz, bool)
+    inf_col = np.full((bsz, 1), _INF, np.int32)
+    ar = np.arange(W, dtype=np.int32)
+
+    for i in range(1, n_max + 1):
+        j = i + o - K  # column index per band offset, shared across pairs
+        jm1 = np.clip(j - 1, 0, m_max - 1).astype(np.intp)
+        valid = (j >= 1) & (j <= m32)
+
+        qc = Q[:, jm1]  # query char at j-1
+        sc = S[:, i - 1][:, None]  # subject char at i-1
+        cost = (qc != sc).astype(np.int32)
+
+        up = np.concatenate([band_prev[:, 1:], inf_col], axis=1)
+        cand = np.minimum(up + 1, band_prev + cost)
+
+        if transpositions and i >= 2:
+            jm2 = np.clip(j - 2, 0, m_max - 1).astype(np.intp)
+            q2 = Q[:, jm2]
+            s2 = S[:, i - 2][:, None]
+            # subject[i-1]==query[j-2] and subject[i-2]==query[j-1]
+            tmask = (q2 == sc) & (qc == s2) & (j >= 2)
+            cand = np.where(tmask, np.minimum(cand, band_prev2 + cost), cand)
+
+        cand = np.where(valid, cand, _INF)
+        if i <= K:
+            cand[:, K - i] = i  # boundary column D[i][0] = i
+
+        # Min-plus prefix scan resolves D[i][j-1] + 1 within the row.
+        x = cand - ar
+        np.minimum.accumulate(x, axis=1, out=x)
+        band_cur = x + ar
+
+        # Freeze finished pairs (i == shorter length): answer at j == m.
+        done = active & (n_len == i)
+        if done.any():
+            rows = np.flatnonzero(done)
+            o_fin = (m_len[rows] - i + K).astype(np.intp)
+            result[rows] = band_cur[rows, o_fin]
+            active[rows] = False
+
+        # Early exit: once two consecutive rows are entirely > keff, every
+        # later cell is too (cost>=0; OSA can reach back two rows). Mirrors
+        # the reference's empty-band exit (bounded_edit_dist_t.cpp:266-276).
+        cur_min = band_cur.min(axis=1)
+        dead = active & (cur_min > keff32) & (prev_min > keff32)
+        if dead.any():
+            result[dead] = keff[dead] + 1
+            active[dead] = False
+
+        if not active.any():
+            break
+
+        band_prev2 = band_prev
+        band_prev = band_cur
+        prev2_min = prev_min
+        prev_min = cur_min
+
+    return result
+
+
+def batch_similarity(
+    a: Sequence[Union[str, bytes, None]],
+    b: Sequence[Union[str, bytes, None]],
+    p: Union[float, Sequence[float], np.ndarray],
+) -> np.ndarray:
+    """Normalized OSA similarity per reference ``similarity_t``.
+
+    cap ``k = int((1-p) * m)`` with ``m = max(len(a), len(b))``
+    (``similarity_t.cpp:56-58,118``); result
+    ``max(result, max_result)`` where ``result = max(0, 1 - d/m)`` and
+    ``max_result = max(0, 1 - (k+1)/m)`` (``similarity_t.cpp:141-142,284-290``).
+    NULL is treated as empty; two empty strings score 1.0 (documented
+    deviation from the C quirk of returning raw distances on those exits).
+    """
+    a_b = [_to_bytes(x) for x in a]
+    b_b = [_to_bytes(x) for x in b]
+    n_pairs = len(a_b)
+    parr = np.asarray(p, np.float64)
+    if parr.ndim == 0:
+        parr = np.full(n_pairs, float(parr), np.float64)
+    if ((parr < 0.0) | (parr > 1.0)).any():
+        raise ValueError("similarity must be in the interval [0.0, 1.0]")
+
+    la = np.fromiter((0 if x is None else len(x) for x in a_b), np.int64, n_pairs)
+    lb = np.fromiter((0 if x is None else len(x) for x in b_b), np.int64, n_pairs)
+    m = np.maximum(la, lb).astype(np.float64)
+
+    kmax = ((1.0 - parr) * m).astype(np.int64)  # similarity_to_max_edits
+    d = batch_edit_distance(a_b, b_b, k=kmax, transpositions=True).astype(np.float64)
+    d = np.minimum(d, kmax + 1)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        result = np.maximum(0.0, 1.0 - d / m)
+        floor = np.maximum(0.0, 1.0 - (kmax + 1.0) / m)
+    out = np.maximum(result, floor)
+    out[m == 0] = 1.0
+    return out
