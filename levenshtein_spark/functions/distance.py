@@ -1,0 +1,152 @@
+"""String-distance column functions — the Spark face of the reference catalog.
+
+Each public function mirrors one reference UDF (ReadMe.md:29-38):
+
+==================  =============================================  =========
+Spark function      Reference UDF                                  Path
+==================  =============================================  =========
+edit_dist           edit_dist    (src/edit_dist.cpp)               Arrow UDF
+edit_dist_t         edit_dist_t  (src/edit_dist_t.cpp)             Arrow UDF
+bounded_edit_dist   bounded_edit_dist   (src/bounded_edit_dist.cpp) Arrow UDF
+bounded_edit_dist_t bounded_edit_dist_t (src/bounded_edit_dist_t.cpp) Arrow UDF
+similarity_t        similarity_t (src/similarity_t.cpp)            Arrow UDF
+*_builtin           comparative JVM baselines (cf. src/postgres.cpp role)
+==================  =============================================  =========
+
+The Arrow UDFs score UTF-8 **bytes** (reference semantics, ReadMe.md:50-51);
+the ``*_builtin`` variants stay entirely JVM-side (whole-stage codegen) using
+Spark's codepoint-counting ``levenshtein`` — identical on ASCII data and the
+fast path when transpositions aren't needed.
+
+The ``min_edit_dist*`` / ``min_similarity_t`` reference functions carry
+cross-row mutable state that is only sound single-threaded
+(src/min_edit_dist_t.cpp:76-83, doc/Usage.md:173-176); their query-level
+meaning (closest match) is re-expressed as aggregations in
+``levenshtein_spark.operators.closest``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+from levenshtein_spark.kernel import batch_edit_distance, batch_similarity
+
+# k = -1 is the internal "unbounded" sentinel on the wire; the public API
+# validates k >= 0 (reference: validate_max.h rejects negative caps).
+
+
+@pandas_udf(LongType())
+def _osa_dist_udf(a: pd.Series, b: pd.Series, k: pd.Series) -> pd.Series:
+    kv = k.fillna(-1).astype("int64").to_numpy()
+    return pd.Series(batch_edit_distance(a.tolist(), b.tolist(), k=kv, transpositions=True))
+
+
+@pandas_udf(LongType())
+def _lev_dist_udf(a: pd.Series, b: pd.Series, k: pd.Series) -> pd.Series:
+    kv = k.fillna(-1).astype("int64").to_numpy()
+    return pd.Series(batch_edit_distance(a.tolist(), b.tolist(), k=kv, transpositions=False))
+
+
+@pandas_udf(DoubleType())
+def _osa_sim_udf(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.Series:
+    return pd.Series(batch_similarity(a.tolist(), b.tolist(), p.to_numpy()))
+
+
+def _as_k_col(k) -> Column:
+    if isinstance(k, Column):
+        return k.cast("long")
+    k = int(k)
+    if k < 0:
+        raise ValueError("maximum edit distance cannot be negative")
+    return F.lit(k).cast("long")
+
+
+def edit_dist(a, b) -> Column:
+    """Unbounded Levenshtein over UTF-8 bytes (reference ``edit_dist``)."""
+    return _lev_dist_udf(F.col(a) if isinstance(a, str) else a,
+                         F.col(b) if isinstance(b, str) else b,
+                         F.lit(-1).cast("long"))
+
+
+def edit_dist_t(a, b) -> Column:
+    """Unbounded OSA / restricted Damerau–Levenshtein (reference ``edit_dist_t``)."""
+    return _osa_dist_udf(F.col(a) if isinstance(a, str) else a,
+                         F.col(b) if isinstance(b, str) else b,
+                         F.lit(-1).cast("long"))
+
+
+def bounded_edit_dist(a, b, k) -> Column:
+    """Banded Levenshtein, returns k_eff+1 when exceeded (``bounded_edit_dist``)."""
+    return _lev_dist_udf(F.col(a) if isinstance(a, str) else a,
+                         F.col(b) if isinstance(b, str) else b,
+                         _as_k_col(k))
+
+
+def bounded_edit_dist_t(a, b, k) -> Column:
+    """Banded OSA with cap — THE pipeline scoring primitive (``bounded_edit_dist_t``)."""
+    return _osa_dist_udf(F.col(a) if isinstance(a, str) else a,
+                         F.col(b) if isinstance(b, str) else b,
+                         _as_k_col(k))
+
+
+def similarity_t(a, b, p) -> Column:
+    """Normalized OSA similarity with early-exit floor (``similarity_t``).
+
+    ``sim = max(max(0, 1 - d/m), max(0, 1 - (k+1)/m))`` with
+    ``k = int((1-p)*m)``, ``m = max(len)`` — src/similarity_t.cpp:56-58,284-290.
+    """
+    if not isinstance(p, Column):
+        p = float(p)
+        if not (0.0 <= p <= 1.0):
+            raise ValueError("similarity must be in the interval [0.0, 1.0]")
+        p = F.lit(p)
+    return _osa_sim_udf(F.col(a) if isinstance(a, str) else a,
+                        F.col(b) if isinstance(b, str) else b,
+                        p.cast("double"))
+
+
+def edit_dist_builtin(a, b) -> Column:
+    """JVM whole-stage-codegen Levenshtein with reference NULL semantics.
+
+    Codepoint-counting (Spark builtin) — equals the byte kernel on ASCII.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    la = F.octet_length(F.coalesce(a, F.lit("")))
+    lb = F.octet_length(F.coalesce(b, F.lit("")))
+    return (
+        F.when(a.isNull() | b.isNull(), F.greatest(la, lb))
+        .otherwise(F.levenshtein(a, b))
+        .cast("long")
+    )
+
+
+def bounded_edit_dist_builtin(a, b, k: int) -> Column:
+    """JVM-side bounded Levenshtein with the reference's k+1 convention.
+
+    Wraps Spark's thresholded ``levenshtein(a, b, k)`` (returns -1 when the
+    distance exceeds k) into the reference contract: k_eff = min(k, max(len)),
+    exceeded → k_eff+1, NULL/empty shorter string → max(len) bypassing the cap
+    (src/prealgorithm.h:17-86, src/bounded_edit_dist_t.cpp:284).
+    """
+    k = int(k)
+    if k < 0:
+        raise ValueError("maximum edit distance cannot be negative")
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    la = F.octet_length(F.coalesce(a, F.lit("")))
+    lb = F.octet_length(F.coalesce(b, F.lit("")))
+    m = F.greatest(la, lb)
+    n = F.least(la, lb)
+    keff = F.least(F.lit(k), m)
+    raw = F.levenshtein(a, b, k)
+    return (
+        F.when(a.isNull() | b.isNull() | (n == 0), m)
+        .when(raw < 0, keff + 1)
+        .otherwise(F.least(raw, keff + 1))
+        .cast("long")
+    )

@@ -1,0 +1,108 @@
+"""Portable hashing / fingerprinting column functions.
+
+Two tiers:
+
+* **Portable** (md5-derived): bit-for-bit reproducible in DuckDB SQL, so every
+  operator built on them can carry an exact oracle in ``__spark_entry__.py``.
+  Spark ``conv(substr(md5(x),1,15),16,10)::long`` equals DuckDB
+  ``('0x'||substr(md5(x),1,15))::BIGINT`` (60-bit non-negative).
+* **Fast** (xxhash64 / hash): JVM-internal, used where no oracle is needed
+  (salting, shuffle keys).
+
+MinHash here is deliberately hand-rolled from column expressions — not
+MLlib's MinHashLSH — to keep the shuffle layout explicit and the math
+portable to the SQL oracle (SURVEY.md §2.4 blocking).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash64(col, seed: int = 0) -> Column:
+    """Portable 60-bit hash: md5-prefix as BIGINT; seed is mixed in as text."""
+    payload = F.concat(F.lit(f"{seed}\x1f"), _c(col)) if seed else _c(col)
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def sha256_hex(col) -> Column:
+    """Content fingerprint — the per-row invariant column (input_hint)."""
+    return F.sha2(_c(col).cast("string"), 256)
+
+
+def minhash_signature(tokens, num_hashes: int = 8) -> Column:
+    """MinHash signature (array<long>) over an array<string> column.
+
+    One portable hash family per slot: ``min(hash64(seed_i || token))``.
+    Estimates Jaccard similarity of token sets; the set-level analogue of the
+    reference's per-pair early exits (cheap necessary condition before the DP).
+    """
+    t = _c(tokens)
+    sig = []
+    for i in range(num_hashes):
+        hashed = F.transform(t, lambda x: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}\x1f"), x)), 1, 15), 16, 10
+        ).cast("long"))
+        sig.append(F.array_min(hashed))
+    return F.array(*sig)
+
+
+def minhash_band_keys(signature, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys (array<string>) from a MinHash signature.
+
+    Pairs sharing ANY band key become candidates (standard banding: collision
+    probability 1-(1-s^r)^b for Jaccard s).
+    """
+    sig = _c(signature)
+    keys = []
+    for bnd in range(bands):
+        part = F.slice(sig, bnd * rows_per_band + 1, rows_per_band)
+        keys.append(
+            F.concat(F.lit(f"b{bnd}:"), F.md5(F.concat_ws("_", F.transform(part, lambda x: x.cast("string")))))
+        )
+    return F.array(*keys)
+
+
+def simhash64(tokens) -> Column:
+    """64-bit SimHash (as long) over an array<string> column.
+
+    For each of 64 bit positions, sum +1/-1 weighted by each token hash's bit,
+    then take the sign. Near-duplicate texts differ in few bits (Hamming).
+    Pure column expressions (aggregate over the token array) — JVM-side.
+    """
+    t = _c(tokens)
+    h = F.transform(t, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"))
+    bits = []
+    for bit in range(60):  # 60 usable bits from the md5-prefix hash
+        votes = F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + F.when(v.bitwiseAND(F.lit(1 << bit)) != 0, 1).otherwise(-1),
+        )
+        bits.append(F.when(votes > 0, F.lit(1 << bit)).otherwise(F.lit(0)).cast("long"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def hamming64(a, b) -> Column:
+    """Hamming distance between two long columns (bit_count of xor)."""
+    return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+
+
+def salted_key(key, salt_from, num_salts: int) -> Column:
+    """Explicit skew-breaking: append a deterministic salt bucket to a hot key.
+
+    ``salt_from`` should be a high-cardinality column (e.g. row id) so rows of
+    a hot key spread over ``num_salts`` shuffle partitions (SURVEY.md §2.4).
+    Uses the fast JVM hash — no oracle ever needs to reproduce salting.
+    """
+    return F.concat(
+        _c(key), F.lit("#"), F.pmod(F.xxhash64(_c(salt_from)), F.lit(num_salts)).cast("string")
+    )

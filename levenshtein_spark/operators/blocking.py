@@ -1,0 +1,67 @@
+"""Stage 1 — blocking (candidate generation).
+
+Replaces the reference's full N² inner loop (tests/benchmark.cpp:305-383) —
+the one thing that cannot survive 10^12 files — with multi-key blocking:
+
+* ``lang + shifted content-length band grids``: the set-level generalization
+  of the reference's length-difference early exit (src/prealgorithm.h:77-86).
+  Two grids of width 2W offset by W guarantee any pair with
+  ``|len_a - len_b| <= W`` shares at least one key (a pair can straddle at
+  most one boundary of the combined boundary set, which belongs to only one
+  grid).
+* ``lang + path-token MinHash LSH bands``: catches pairs whose content head
+  diverged but whose paths are near-identical.
+
+Keys are plain columns (portable md5 hashing) so the gold-label generator
+enumerates the exact same candidate universe.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from levenshtein_spark.functions.hashing import minhash_band_keys, minhash_signature
+
+DEFAULT_LEN_BAND = 32  # 2W: guarantees pairs with length diff <= 16 share a key
+DEFAULT_MINHASH = 8
+DEFAULT_BANDS = 4
+
+
+def block_keys_col(
+    len_band: int = DEFAULT_LEN_BAND,
+    num_hashes: int = DEFAULT_MINHASH,
+    bands: int = DEFAULT_BANDS,
+) -> F.Column:
+    """array<string> of block keys for a normalized row."""
+    g1 = F.floor(F.col("content_len") / len_band)
+    g2 = F.floor((F.col("content_len") + len_band // 2) / len_band)
+    keys = [
+        F.concat_ws("|", F.lit("len0"), F.col("lang"), g1.cast("string")),
+        F.concat_ws("|", F.lit("len1"), F.col("lang"), g2.cast("string")),
+    ]
+    sig = minhash_signature(F.col("path_tokens"), num_hashes)
+    mh = minhash_band_keys(sig, bands, num_hashes // bands)
+    keys.append(F.concat(F.lit("mh|"), F.col("lang"), F.lit("|"), F.element_at(mh, 1)))
+    for i in range(2, bands + 1):
+        keys.append(F.concat(F.lit("mh|"), F.col("lang"), F.lit("|"), F.element_at(mh, i)))
+    return F.array(*keys[:2], *keys[2:])
+
+
+def with_block_keys(normalized: DataFrame, **kw) -> DataFrame:
+    return normalized.withColumn("block_keys", block_keys_col(**kw))
+
+
+def exploded_blocks(normalized: DataFrame, **kw) -> DataFrame:
+    """(block_key, id, …scoring columns) — one row per (row, key)."""
+    return (
+        with_block_keys(normalized, **kw)
+        .select(
+            F.explode("block_keys").alias("block_key"),
+            "id",
+            "sha",
+            "path_base",
+            "content_prefix",
+            "content_len",
+        )
+    )

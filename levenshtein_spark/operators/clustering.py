@@ -1,0 +1,105 @@
+"""Stage 5 — transitive closure: large-star/small-star connected components.
+
+Pure-DataFrame implementation of the two-phase star algorithm (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
+rounds, no GraphFrames/MLlib dependency, no ``collect_list`` (the per-node
+neighbor minimum comes from a groupBy().min() + join, so a hot node never
+materializes its neighbor list in one task).
+
+Each round is two shuffles (groupBy + join per phase); lineage is truncated
+every iteration with ``localCheckpoint`` so the plan doesn't grow with the
+iteration count. Convergence = the canonical edge set is unchanged
+(count + order-insensitive hash), at which point every component is a star
+rooted at its minimum id.
+
+The reference has no equivalent operator — its host DBMS queries stop at
+pairs (doc/Usage.md) — but the north_rule's entity clusters require the
+closure of the match relation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _canon(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected edge set in canonical (src < dst) form, no self-loops."""
+    return (
+        df.select(
+            F.least(F.col(a), F.col(b)).alias("src"),
+            F.greatest(F.col(a), F.col(b)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    d = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.withColumn("m", F.least("mn", "u")).select("u", "m")
+    out = d.join(mins, "u").where(F.col("v") > F.col("u")).select("v", "m")
+    return _canon(out, "v", "m")
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # canonical edges already have src < dst; key by the larger endpoint
+    d = edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    out1 = d.join(mins, "u").where(F.col("v") != F.col("m")).select("v", "m")
+    out2 = mins.select(F.col("u").alias("v"), "m")
+    return _canon(out1.unionAll(out2), "v", "m")
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    # XOR-fold is order-insensitive and can't overflow under ANSI mode.
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row.n), int(row.h)
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """edge list (src, dst) → labels (id, cluster_id) for every edge endpoint.
+
+    cluster_id is the minimum member id — deterministic across runs and
+    partitionings. Nodes not present in any edge are absent (callers union
+    singletons back; see ``cluster_labels``).
+    """
+    spark = edges.sparkSession
+    e = _canon(edges, "src", "dst").localCheckpoint()
+    if e.isEmpty():
+        return spark.createDataFrame([], "id string, cluster_id string")
+
+    sig = _signature(e)
+    for _ in range(max_iterations):
+        e = _large_star(e).localCheckpoint()
+        e = _small_star(e).localCheckpoint()
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+
+    # Star forest: src is the component root (min id).
+    members = e.select(F.col("dst").alias("id"), F.col("src").alias("cluster_id"))
+    roots = e.select(F.col("src").alias("id"), F.col("src").alias("cluster_id")).distinct()
+    return members.unionAll(roots)
+
+
+def cluster_labels(all_ids: DataFrame, edges: DataFrame) -> DataFrame:
+    """Labels for every row id: component root for matched rows, self for
+    singletons. ``all_ids`` must have column ``id``."""
+    comp = connected_components(edges)
+    return (
+        all_ids.select("id")
+        .join(comp, "id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "id"))
+    )

@@ -1,0 +1,62 @@
+"""Stage 3 — pair scoring: sha256 short-circuit ∪ Arrow-batched OSA kernel.
+
+Exact duplicates (``sha_a == sha_b``) bypass the DP entirely — at web scale
+the bulk of matches are byte-identical files and must cost O(1). Only
+non-identical pairs cross the JVM→Python Arrow boundary, and those are split
+into a *union of two plans* (not a ``when()`` over one) so Catalyst never
+ships exact-dupe rows to the Python worker.
+
+Edge rule: ``match = sha_equal OR osa(content_prefix) <= k_content``; the
+path distance rides along as a feature column (closest-match queries use it).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from levenshtein_spark.functions.distance import bounded_edit_dist_t
+
+DEFAULT_K_CONTENT = 8
+DEFAULT_K_PATH = 4
+
+
+def score_pairs(
+    pairs: DataFrame,
+    k_content: int = DEFAULT_K_CONTENT,
+    k_path: int = DEFAULT_K_PATH,
+) -> DataFrame:
+    """→ id_a, id_b, exact_dupe, content_dist, path_dist, is_match."""
+    exact = (
+        pairs.where(F.col("sha_a") == F.col("sha_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.lit(True).alias("exact_dupe"),
+            F.lit(0).cast("long").alias("content_dist"),
+            bounded_edit_dist_t("path_base_a", "path_base_b", k_path).alias("path_dist"),
+        )
+    )
+    fuzzy = (
+        pairs.where(F.col("sha_a") != F.col("sha_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.lit(False).alias("exact_dupe"),
+            bounded_edit_dist_t("content_prefix_a", "content_prefix_b", k_content).alias(
+                "content_dist"
+            ),
+            bounded_edit_dist_t("path_base_a", "path_base_b", k_path).alias("path_dist"),
+        )
+    )
+    scored = exact.unionByName(fuzzy)
+    return scored.withColumn(
+        "is_match", F.col("exact_dupe") | (F.col("content_dist") <= k_content)
+    )
+
+
+def edges(scored: DataFrame) -> DataFrame:
+    """Stage 4 — matching pairs as an edge list (src < dst)."""
+    return scored.where("is_match").select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )

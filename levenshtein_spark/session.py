@@ -1,0 +1,56 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Tuned for Arrow-batched Python UDF scoring and AQE-managed shuffles. On a
+real cluster the same settings apply; only master/memory come from
+spark-submit. Iceberg note (SURVEY.md §7): no iceberg-spark-runtime jar ships
+in this sandbox, so table IO (levenshtein_spark.sources.tables) falls back to
+plain Parquet in an Iceberg-like layout; when the jar is present the same
+code path writes real Iceberg tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "levenshtein_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_size: int = 10_000,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    # Executor Python workers must be able to import this package: in local
+    # mode they inherit PYTHONPATH from the environment (not the driver's
+    # sys.path); on a real cluster spark-submit --py-files does this instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 32
+        except ValueError:
+            n = 32
+        shuffle_partitions = max(2 * n, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Arrow transport for pandas UDFs — the JVM<->Python boundary of the
+        # scoring kernel; batch size bounds peak Python-worker memory.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_size))
+        # AQE: runtime partition coalescing + skew-join splitting complement
+        # (not replace) the explicit salting in operators/blocking.py.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

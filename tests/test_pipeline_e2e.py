@@ -1,0 +1,152 @@
+"""End-to-end pipeline: pairwise F1 >= 0.99 vs oracle gold (the BASELINE metric).
+
+Gold derivation (FIXTURES.md §3): enumerate candidate pairs within the same
+blocking key (the pipeline's own key universe), label each with the
+full-matrix oracle — ``is_match = sha_equal OR oracle_OSA(prefix) <= k`` —
+then gold clusters = union-find closure. The pipeline must reproduce both the
+pair labels and the co-clustering relation.
+"""
+
+import itertools
+
+import pytest
+
+from levenshtein_spark.oracle import ref_edit_distance
+from levenshtein_spark.plans.linkage import LinkageConfig, run_linkage
+from levenshtein_spark.sources.code_files import code_files_df
+
+K_CONTENT = 8
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    src = code_files_df(spark, num_clusters=60, seed=42)
+    cfg = LinkageConfig(checkpoint_dir=ckpt, k_content=K_CONTENT, hot_threshold=150, num_salts=4)
+    out = run_linkage(spark, src, cfg)
+    return out, cfg
+
+
+def _gold_labels(out):
+    """Oracle labels over the pipeline's own candidate universe."""
+    rows = {
+        r.id: r
+        for r in out["normalized"].select("id", "sha", "content_prefix").collect()
+    }
+    blocks = {}
+    for r in out["blocks"].select("block_key", "id").collect():
+        blocks.setdefault(r.block_key, []).append(r.id)
+    gold = {}
+    for key, ids in blocks.items():
+        for a, b in itertools.combinations(sorted(set(ids)), 2):
+            if (a, b) in gold:
+                continue
+            ra, rb = rows[a], rows[b]
+            match = ra.sha == rb.sha or (
+                ref_edit_distance(ra.content_prefix, rb.content_prefix, K_CONTENT)
+                <= K_CONTENT
+            )
+            gold[(a, b)] = match
+    return gold
+
+
+def _f1(tp, fp, fn):
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    return 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+
+
+def test_pairwise_f1_vs_oracle(pipeline):
+    out, _ = pipeline
+    gold = _gold_labels(out)
+    pred = {
+        (r.id_a, r.id_b): r.is_match
+        for r in out["scored"].select("id_a", "id_b", "is_match").collect()
+    }
+    assert set(pred) == set(gold), "candidate universe must match gold universe"
+    tp = sum(1 for k, m in pred.items() if m and gold[k])
+    fp = sum(1 for k, m in pred.items() if m and not gold[k])
+    fn = sum(1 for k, m in pred.items() if not m and gold[k])
+    f1 = _f1(tp, fp, fn)
+    assert tp + fn > 50, "fixture must contain a meaningful number of gold matches"
+    assert f1 >= 0.99, (tp, fp, fn, f1)
+
+
+def test_cluster_pairwise_f1_vs_oracle(pipeline):
+    out, _ = pipeline
+    gold = _gold_labels(out)
+
+    # gold closure via union-find over gold-match pairs
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b), m in gold.items():
+        if m:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    labels = {r.id: r.cluster_id for r in out["clusters"].collect()}
+    gold_root = {i: find(i) for i in labels}
+
+    ids = sorted(labels)
+    tp = fp = fn = 0
+    for a, b in itertools.combinations(ids, 2):
+        same_pred = labels[a] == labels[b]
+        same_gold = gold_root[a] == gold_root[b]
+        tp += same_pred and same_gold
+        fp += same_pred and not same_gold
+        fn += (not same_pred) and same_gold
+    f1 = _f1(tp, fp, fn)
+    assert f1 >= 0.99, (tp, fp, fn, f1)
+
+
+def test_sha_invariant_held(pipeline):
+    out, _ = pipeline
+    # run_linkage raises if sha256 drifts; assert the column exists & is full-width
+    n = out["normalized"].where("length(sha) = 64").count()
+    assert n == out["normalized"].count()
+
+
+def test_resume_skips_stages_and_is_identical(pipeline, spark):
+    out, cfg = pipeline
+    before = {r.id: r.cluster_id for r in out["clusters"].collect()}
+    src = code_files_df(spark, num_clusters=60, seed=42)
+    cfg2 = LinkageConfig(
+        checkpoint_dir=cfg.checkpoint_dir,
+        k_content=cfg.k_content,
+        hot_threshold=cfg.hot_threshold,
+        num_salts=cfg.num_salts,
+    )
+    out2 = run_linkage(spark, src, cfg2)
+    after = {r.id: r.cluster_id for r in out2["clusters"].collect()}
+    assert before == after
+    assert cfg2.stage_times == {}, "resume must not recompute any stage"
+
+
+def test_resume_from_mid_pipeline(spark, tmp_path):
+    import shutil, os
+
+    ckpt = str(tmp_path / "ckpt2")
+    src = code_files_df(spark, num_clusters=25, seed=9)
+    cfg = LinkageConfig(checkpoint_dir=ckpt, k_content=K_CONTENT)
+    out = run_linkage(spark, src, cfg)
+    full = {r.id: r.cluster_id for r in out["clusters"].collect()}
+
+    # Kill everything after 'pairs' — simulates a job dying mid-pipeline.
+    for stage in ("scored", "edges", "clusters", "metrics_scored", "metrics_edges", "metrics_clusters"):
+        p = os.path.join(ckpt, stage)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+    cfg2 = LinkageConfig(checkpoint_dir=ckpt, k_content=K_CONTENT)
+    out2 = run_linkage(spark, src, cfg2)
+    resumed = {r.id: r.cluster_id for r in out2["clusters"].collect()}
+    assert resumed == full
+    assert set(cfg2.stage_times) == {"scored", "edges", "clusters"}
