@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship record-linkage pipeline on the sf0.001
+customer table; ``queries()`` / ``oracle_sql()`` expose every implemented
+operator (SURVEY.md §2 catalog + linkage pipeline stages + training-data
+dedup/similarity/text suites) with DuckDB oracle twins, including a
+recursive-CTE true-OSA oracle (levenshtein_spark/oracles.py) because
+DuckDB's ``damerau_levenshtein`` is the unrestricted variant while the
+reference is restricted OSA.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full blocking→scoring→clustering linkage over sf0.001.
+
+    Links customer records by name edit distance within nation blocks and
+    returns one row per entity cluster with its size — the end-to-end shape
+    the north_rule asks for (blocking, salted pairs, Arrow-batched scoring,
+    star-contraction transitive closure).
+    """
+    from levenshtein_spark.driver_queries.linkage import flagship_clusters
+
+    return flagship_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from levenshtein_spark.driver_queries import collect
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return collect()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from levenshtein_spark.driver_queries import collect
+
+    return collect()[1]

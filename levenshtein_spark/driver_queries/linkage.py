@@ -1,0 +1,264 @@
+"""Pipeline-stage queries: every stage of the linkage plan, driver-checked.
+
+Two tracks share the production operators (normalize → blocking →
+candidate_pairs → score_pairs → edges → clustering):
+
+* **documents track** — the documents table projected into the
+  ``code_files(repo, path, commit, lang, content)`` shape (BASELINE.json
+  input_hint); exercises normalization, the dual length-band grids, the
+  path-token MinHash bands, and salted pair generation. Oracles mirror the
+  portable md5 hashing in plain SQL.
+* **customer track** — customer names carry natural digit-level edit
+  structure ('Customer#000000042' vs '...043'), so blocking on nation +
+  scoring with bounded Levenshtein yields a real entity graph; oracles use
+  DuckDB ``levenshtein`` and a recursive-CTE transitive closure for the
+  cluster labels.
+
+``flagship_clusters`` is the ``entry()`` surface: the full pipeline at
+sf0.001 ending in per-cluster sizes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from levenshtein_spark.driver_queries import tbl
+from levenshtein_spark.operators.blocking import exploded_blocks
+from levenshtein_spark.operators.clustering import cluster_labels
+from levenshtein_spark.operators.normalize import normalize
+from levenshtein_spark.operators.pairs import candidate_pairs
+from levenshtein_spark.operators.scoring import edges as edges_of
+from levenshtein_spark.operators.scoring import score_pairs
+
+_PREFIX = 64
+_LEN_BAND = 32
+_NUM_HASHES = 8
+_BANDS = 4
+
+
+# ---------------------------------------------------------------------------
+# documents track
+# ---------------------------------------------------------------------------
+def docs_as_code_files(spark: SparkSession, sf: str) -> DataFrame:
+    """documents → the code_files(repo, path, commit, lang, content) shape."""
+    d = tbl(spark, sf, "documents")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.col("doc_id").cast("string").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def q_linkage_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 0: id/sha/length/prefix/path columns (operators.normalize)."""
+    n = normalize(docs_as_code_files(spark, sf), prefix_len=_PREFIX)
+    return n.select(
+        "id",
+        "sha",
+        F.col("content_len").cast("long").alias("content_len"),
+        "content_prefix",
+        "path_base",
+        F.size("path_tokens").cast("long").alias("n_path_tokens"),
+    )
+
+
+def q_linkage_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 1: exploded (block_key, id) — dual length grids + MinHash bands."""
+    n = normalize(docs_as_code_files(spark, sf), prefix_len=_PREFIX)
+    return exploded_blocks(n, len_band=_LEN_BAND).select("block_key", "id")
+
+
+def q_linkage_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 2: distinct candidate pairs with per-pair key multiplicity;
+    hot blocks routed through the lossless triangle-salted join."""
+    n = normalize(docs_as_code_files(spark, sf), prefix_len=_PREFIX)
+    blocks = exploded_blocks(n, len_band=_LEN_BAND)
+    return candidate_pairs(blocks, hot_threshold=200, num_salts=4).select(
+        "id_a", "id_b", F.col("n_keys").cast("long").alias("n_keys")
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer track
+# ---------------------------------------------------------------------------
+def _customer_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers in the blocked-record shape the pair/score operators expect:
+    one block per nation (the 'lang key' of this corpus)."""
+    c = tbl(spark, sf, "customer")
+    return c.select(
+        F.col("c_nationkey").cast("string").alias("block_key"),
+        F.col("c_custkey").alias("id"),
+        F.sha2(F.col("c_name"), 256).alias("sha"),
+        F.col("c_name").alias("path_base"),
+        F.col("c_name").alias("content_prefix"),
+        F.octet_length("c_name").alias("content_len"),
+    )
+
+
+def _customer_scored(spark: SparkSession, sf: str) -> DataFrame:
+    blocks = _customer_blocks(spark, sf)
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8)
+    return score_pairs(pairs, k_content=1, k_path=2, transpositions=False)
+
+
+def q_linkage_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 3: sha short-circuit ∪ Arrow-batched bounded distance."""
+    return _customer_scored(spark, sf).select(
+        "id_a", "id_b", "exact_dupe",
+        F.col("content_dist").cast("long").alias("content_dist"),
+        F.col("path_dist").cast("long").alias("path_dist"),
+        "is_match",
+    )
+
+
+def q_linkage_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 4: matching pairs as an edge list."""
+    return edges_of(_customer_scored(spark, sf)).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+
+
+def q_linkage_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 5: large-star/small-star transitive closure → entity labels."""
+    ids = tbl(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
+    e = edges_of(_customer_scored(spark, sf))
+    return cluster_labels(ids, e).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def flagship_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """entry() surface: full pipeline → one row per entity cluster + size."""
+    labels = q_linkage_clusters(spark, sf)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .orderBy(F.col("cluster_size").desc(), F.col("cluster_id"))
+    )
+
+
+QUERIES = {
+    "linkage_normalize": q_linkage_normalize,
+    "linkage_blocks": q_linkage_blocks,
+    "linkage_pairs": q_linkage_pairs,
+    "linkage_score": q_linkage_score,
+    "linkage_edges": q_linkage_edges,
+    "linkage_clusters": q_linkage_clusters,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+_DOCS_NORM = f"""
+SELECT
+  sha256(concat_ws(chr(31), source,
+                   source || '/' || CAST(doc_id AS VARCHAR) || '.txt',
+                   CAST(doc_id AS VARCHAR))) AS id,
+  sha256(coalesce(text, '')) AS sha,
+  CAST(strlen(coalesce(text, '')) AS BIGINT) AS content_len,
+  substr(coalesce(text, ''), 1, {_PREFIX}) AS content_prefix,
+  CAST(doc_id AS VARCHAR) || '.txt' AS path_base,
+  list_filter(regexp_split_to_array(lower(source || '/' || CAST(doc_id AS VARCHAR) || '.txt'),
+              '[/._-]+'), t -> t <> '') AS path_tokens,
+  lang
+FROM documents
+"""
+
+
+def _dd_minhash_band_keys() -> list[str]:
+    """DuckDB expressions for the {_BANDS} MinHash band keys over path_tokens
+    (mirrors functions.hashing.minhash_signature / minhash_band_keys)."""
+    rows = _NUM_HASHES // _BANDS
+    # minhash_signature always prefixes the slot index (even slot 0), unlike
+    # bare hash64 — mirror that exactly.
+    slots = [
+        "list_min(list_transform(path_tokens, t -> "
+        f"(('0x' || substr(md5(concat('{i}', chr(31), t)), 1, 15))::BIGINT)))"
+        for i in range(_NUM_HASHES)
+    ]
+    keys = []
+    for b in range(_BANDS):
+        part = slots[b * rows : (b + 1) * rows]
+        joined = " || '_' || ".join(f"CAST({s} AS VARCHAR)" for s in part)
+        keys.append(f"'mh|' || lang || '|' || 'b{b}:' || md5({joined})")
+    return keys
+
+
+def _docs_blocks_sql() -> str:
+    mh = _dd_minhash_band_keys()
+    selects = [
+        f"SELECT 'len0|' || lang || '|' || CAST(CAST(floor(content_len / {_LEN_BAND}) AS BIGINT) AS VARCHAR) AS block_key, id FROM norm",
+        f"SELECT 'len1|' || lang || '|' || CAST(CAST(floor((content_len + {_LEN_BAND // 2}) / {_LEN_BAND}) AS BIGINT) AS VARCHAR) AS block_key, id FROM norm",
+        *[f"SELECT {k} AS block_key, id FROM norm" for k in mh],
+    ]
+    return f"WITH norm AS ({_DOCS_NORM})\n" + "\nUNION ALL\n".join(selects)
+
+
+_CUST_PAIRS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+"""
+
+# reference bounded convention: k_eff = least(k, max(len)), exceeded → k_eff+1
+_CUST_SCORE = f"""
+SELECT id_a, id_b,
+       (name_a = name_b) AS exact_dupe,
+       CASE WHEN name_a = name_b THEN CAST(0 AS BIGINT)
+            ELSE CAST(least(levenshtein(name_a, name_b),
+                 least(1, greatest(length(name_a), length(name_b))) + 1) AS BIGINT)
+       END AS content_dist,
+       CAST(least(levenshtein(name_a, name_b),
+            least(2, greatest(length(name_a), length(name_b))) + 1) AS BIGINT) AS path_dist
+FROM ({_CUST_PAIRS}) p
+"""
+
+_CUST_EDGES = f"""
+SELECT id_a AS src, id_b AS dst
+FROM ({_CUST_SCORE}) s
+WHERE exact_dupe OR content_dist <= 1
+"""
+
+ORACLES = {
+    "linkage_normalize": f"""
+SELECT id, sha, content_len, content_prefix, path_base,
+       CAST(len(path_tokens) AS BIGINT) AS n_path_tokens
+FROM ({_DOCS_NORM}) n
+""",
+    "linkage_blocks": _docs_blocks_sql(),
+    "linkage_pairs": f"""
+WITH blocks AS ({_docs_blocks_sql()})
+SELECT l.id AS id_a, r.id AS id_b, CAST(count(*) AS BIGINT) AS n_keys
+FROM blocks l JOIN blocks r ON l.block_key = r.block_key AND l.id < r.id
+GROUP BY l.id, r.id
+""",
+    "linkage_score": f"""
+SELECT id_a, id_b, exact_dupe, content_dist, path_dist,
+       (exact_dupe OR content_dist <= 1) AS is_match
+FROM ({_CUST_SCORE}) s
+""",
+    "linkage_edges": _CUST_EDGES,
+    # transitive closure by recursive reachability (UNION dedups, so cycles
+    # terminate); label = min reachable id; singletons label themselves.
+    "linkage_clusters": f"""
+WITH RECURSIVE edges AS ({_CUST_EDGES}),
+und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+reach(root, node) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT CAST(root AS BIGINT) AS id, CAST(min(node) AS BIGINT) AS cluster_id
+FROM reach GROUP BY root
+""",
+}

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from levenshtein_spark.functions.distance import bounded_edit_dist_t
+from levenshtein_spark.functions.distance import bounded_edit_dist, bounded_edit_dist_t
 
 DEFAULT_K_CONTENT = 8
 DEFAULT_K_PATH = 4
@@ -25,8 +25,14 @@ def score_pairs(
     pairs: DataFrame,
     k_content: int = DEFAULT_K_CONTENT,
     k_path: int = DEFAULT_K_PATH,
+    transpositions: bool = True,
 ) -> DataFrame:
-    """→ id_a, id_b, exact_dupe, content_dist, path_dist, is_match."""
+    """→ id_a, id_b, exact_dupe, content_dist, path_dist, is_match.
+
+    ``transpositions=False`` scores with plain bounded Levenshtein instead of
+    OSA (reference ``bounded_edit_dist`` vs ``bounded_edit_dist_t``).
+    """
+    dist = bounded_edit_dist_t if transpositions else bounded_edit_dist
     exact = (
         pairs.where(F.col("sha_a") == F.col("sha_b"))
         .select(
@@ -34,7 +40,7 @@ def score_pairs(
             "id_b",
             F.lit(True).alias("exact_dupe"),
             F.lit(0).cast("long").alias("content_dist"),
-            bounded_edit_dist_t("path_base_a", "path_base_b", k_path).alias("path_dist"),
+            dist("path_base_a", "path_base_b", k_path).alias("path_dist"),
         )
     )
     fuzzy = (
@@ -43,10 +49,10 @@ def score_pairs(
             "id_a",
             "id_b",
             F.lit(False).alias("exact_dupe"),
-            bounded_edit_dist_t("content_prefix_a", "content_prefix_b", k_content).alias(
+            dist("content_prefix_a", "content_prefix_b", k_content).alias(
                 "content_dist"
             ),
-            bounded_edit_dist_t("path_base_a", "path_base_b", k_path).alias("path_dist"),
+            dist("path_base_a", "path_base_b", k_path).alias("path_dist"),
         )
     )
     scored = exact.unionByName(fuzzy)

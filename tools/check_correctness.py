@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB at the same scale factor, then compares
+row count, schema width, and an order-insensitive value comparison
+(columns sorted by name, rows sorted by all columns). Stricter than the
+driver (exact cell equality after float rounding), so passing here should
+imply passing there.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    only = set(sys.argv[2:])
+
+    from levenshtein_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"[FAIL] {name}: spark query raised")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        t_spark = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sdf)} rows  spark={t_spark:.1f}s")
+            if len(sdf) == 0:
+                print(f"  WARNING: {name} returned 0 rows")
+            continue
+        t0 = time.perf_counter()
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception:
+            print(f"[FAIL] {name}: oracle SQL raised")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        t_duck = time.perf_counter() - t0
+
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows spark={len(sdf)} oracle={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        if not problems:
+            a, b = normalize(sdf), normalize(odf)
+            if not a.equals(b):
+                neq = (a != b) & ~(a.isna() & b.isna())
+                bad = neq.any(axis=1)
+                problems.append(f"{int(bad.sum())} mismatched rows")
+                print(pd.concat([a[bad].head(5), b[bad].head(5)], keys=["spark", "oracle"]))
+        status = "OK" if not problems else "FAIL " + "; ".join(problems)
+        print(f"[{status}] {name}: {len(sdf)} rows  spark={t_spark:.1f}s duck={t_duck:.1f}s")
+        if problems:
+            failures.append(name)
+
+    print()
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("all checked queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
