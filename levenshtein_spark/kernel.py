@@ -136,25 +136,72 @@ def batch_edit_distance(
     subj = [a_b[i] if la[i] <= lb[i] else b_b[i] for i in todo]
     quer = [b_b[i] if la[i] <= lb[i] else a_b[i] for i in todo]
 
+    # Strip common prefix/suffix (reference prealgorithm.h:29-57 /
+    # simd_trim.cpp:58-118). Edit distance — incl. OSA — is invariant under
+    # removing a shared prefix and suffix (pinned by the exhaustive and
+    # property differential tests); for near-duplicate corpora this collapses
+    # most DPs to a handful of rows. Cap semantics keep using ORIGINAL
+    # lengths (keff was already computed above).
+    t_nlen = np.empty(todo.size, np.int64)
+    t_mlen = np.empty(todo.size, np.int64)
+    for s in range(todo.size):
+        sa, qa = subj[s], quer[s]
+        n = len(sa)
+        p = sfx = 0
+        if sa[0] == qa[0]:  # cheap guard: most non-dup pairs mismatch byte 0
+            x = np.frombuffer(sa, np.uint8)
+            y = np.frombuffer(qa, np.uint8)
+            neq = x != y[:n]
+            p = int(neq.argmax()) if neq.any() else n
+        if p < n and sa[-1] == qa[-1]:
+            n2 = n - p
+            x2 = np.frombuffer(sa, np.uint8)[n - n2:][::-1]
+            y2 = np.frombuffer(qa, np.uint8)[len(qa) - n2:][::-1]
+            neq2 = x2 != y2
+            sfx = int(neq2.argmax()) if neq2.any() else n2
+        if p or sfx:
+            sa = sa[p:len(sa) - sfx] if sfx else sa[p:]
+            qa = qa[p:len(qa) - sfx] if sfx else qa[p:]
+            subj[s], quer[s] = sa, qa
+        t_nlen[s] = len(sa)
+        t_mlen[s] = len(qa)
+
+    # Trimmed-empty subject: distance is the remaining query length.
+    done = t_nlen == 0
+    if done.any():
+        d_idx = np.flatnonzero(done)
+        gi = todo[d_idx]
+        res[gi] = np.minimum(keff[gi] + 1, t_mlen[d_idx])
+        keep = np.flatnonzero(~done)
+        todo = todo[keep]
+        subj = [subj[s] for s in keep]
+        quer = [quer[s] for s in keep]
+        t_nlen = t_nlen[keep]
+        t_mlen = t_mlen[keep]
+        if todo.size == 0:
+            return res
+
     # Process in chunks ordered by query length so band width and padding are
     # sized per chunk, not by the global worst case.
-    order = np.argsort(m_len[todo], kind="stable")
+    order = np.argsort(t_mlen, kind="stable")
+    # Effective band half-width per pair: the cap can't usefully exceed the
+    # (trimmed) longer length.
+    eff_k = np.minimum(keff[todo], t_mlen)
     pos = 0
     while pos < order.size:
         # Grow chunk until the (rows x band-width) cell budget is hit.
         # Memory per chunk is ~3 band matrices of (rows x W) int32; the DP
         # loop length is the chunk's max subject length, so sorting by query
         # length keeps chunks length-homogeneous and the lockstep efficient.
-        first = order[pos]
-        k0 = int(keff[todo[first]])
+        k0 = int(eff_k[order[pos]])
         end = pos
         while end < order.size:
             i = order[end]
-            w = 2 * max(k0, int(keff[todo[i]])) + 1
+            w = 2 * max(k0, int(eff_k[i])) + 1
             rows = end - pos + 1
             if rows > 1 and rows * w > _CHUNK_CELL_BUDGET:
                 break
-            k0 = max(k0, int(keff[todo[i]]))
+            k0 = max(k0, int(eff_k[i]))
             end += 1
         sel = order[pos:end]
         pos = end
@@ -162,8 +209,8 @@ def batch_edit_distance(
         dist = _dp_band_chunk(
             [subj[s] for s in sel],
             [quer[s] for s in sel],
-            n_len[idx],
-            m_len[idx],
+            t_nlen[sel],
+            t_mlen[sel],
             keff[idx],
             transpositions,
         )

@@ -1,0 +1,47 @@
+"""Pin common prefix/suffix trimming (reference prealgorithm.h:29-57 role).
+
+Trimming is a pure optimization: OSA and Levenshtein are invariant under
+removing a shared prefix and suffix. The exhaustive test proves it on the
+complete pair space of a small alphabet (3969 pairs, every cap), which covers
+every boundary interaction a transposition can have with a trimmed edge.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from levenshtein_spark.kernel import batch_edit_distance
+from levenshtein_spark.oracle import ref_edit_distance
+
+STRINGS = [""] + [
+    "".join(t) for L in range(1, 6) for t in itertools.product("ab", repeat=L)
+]
+
+
+@pytest.mark.parametrize("transpositions", [True, False])
+@pytest.mark.parametrize("k", [None, 1, 2, 4])
+def test_exhaustive_small_alphabet(transpositions, k):
+    a, b = zip(*itertools.product(STRINGS, STRINGS))
+    got = batch_edit_distance(list(a), list(b), k=k, transpositions=transpositions)
+    exp = [ref_edit_distance(x, y, k=k, transpositions=transpositions) for x, y in zip(a, b)]
+    assert got.tolist() == exp
+
+
+def test_long_near_duplicates_trim_to_core():
+    rng = np.random.default_rng(7)
+    letters = np.array(list("abcdefg"))
+    base = ["".join(rng.choice(letters, 500)) for _ in range(200)]
+    mutated = [s[:250] + "zz" + s[252:] for s in base]
+    d = batch_edit_distance(base, mutated, k=8)
+    assert (d == 2).all()
+
+
+def test_subject_prefix_of_query():
+    # full-prefix trim leaves an empty subject; distance = remaining length,
+    # capped by k_eff + 1
+    assert batch_edit_distance(["abc"], ["abcdefgh"], k=3)[0] == 4
+    assert batch_edit_distance(["abc"], ["abcde"], k=3)[0] == 2
+    assert batch_edit_distance(["abc"], ["abc"], k=0)[0] == 0
