@@ -1,0 +1,79 @@
+"""spark-submit entry point for the full record-linkage pipeline.
+
+    spark-submit --py-files dist/levenshtein_spark.zip jobs/link.py \
+        --source /path/to/code_files --checkpoint /path/to/warehouse \
+        --k-content 8 --k-path 4 [--synthetic-clusters N]
+
+Reads the code_files table (Iceberg table name or parquet path; or generates
+the deterministic synthetic corpus), runs normalize → blocking → salted
+pairs → Arrow-batched scoring → edges → star-contraction clustering with
+per-stage checkpoints, and prints stage metrics. Resumes from the last
+completed stage on re-run (north_rule: resumable from checkpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", help="parquet path or Iceberg table of code_files")
+    ap.add_argument("--synthetic-clusters", type=int, default=0,
+                    help="generate the deterministic synthetic corpus instead")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--k-content", type=int, default=8)
+    ap.add_argument("--k-path", type=int, default=4)
+    ap.add_argument("--prefix-len", type=int, default=256)
+    ap.add_argument("--len-band", type=int, default=32)
+    ap.add_argument("--hot-threshold", type=int, default=2000)
+    ap.add_argument("--num-salts", type=int, default=16)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+
+    from levenshtein_spark.plans.linkage import LinkageConfig, run_linkage
+    from levenshtein_spark.session import get_spark
+    from levenshtein_spark.sources.code_files import code_files_df
+
+    spark = get_spark("link", master=args.master)
+    if args.synthetic_clusters:
+        source = code_files_df(spark, num_clusters=args.synthetic_clusters)
+    elif args.source and args.source.endswith((".parquet", "/")) or (args.source or "").startswith("/"):
+        source = spark.read.parquet(args.source)
+    elif args.source:
+        source = spark.read.table(args.source)
+    else:
+        ap.error("provide --source or --synthetic-clusters")
+
+    cfg = LinkageConfig(
+        checkpoint_dir=args.checkpoint,
+        k_content=args.k_content,
+        k_path=args.k_path,
+        prefix_len=args.prefix_len,
+        len_band=args.len_band,
+        hot_threshold=args.hot_threshold,
+        num_salts=args.num_salts,
+        force=args.force,
+    )
+    t0 = time.perf_counter()
+    stages = run_linkage(spark, source, cfg)
+    counts = {
+        name: stages[name].count()
+        for name in ("normalized", "blocks", "pairs", "scored", "edges", "clusters")
+    }
+    n_clusters = stages["clusters"].select("cluster_id").distinct().count()
+    print(json.dumps({
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "stage_rows": counts,
+        "n_clusters": n_clusters,
+        "stage_times": {k: round(v, 2) for k, v in cfg.stage_times.items()},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,2 +1,151 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+* ``ann_cosine_topk`` — brute-force exact top-k: broadcast the probe set,
+  JVM-side zip_with/aggregate dot products (no UDF), window arg-top-k.
+  This is the correctness baseline.
+* ``ann_lsh_buckets`` — random-hyperplane LSH bucket assignment (the scale
+  path: candidate generation cost drops from O(N²) to O(N·B) with
+  within-bucket brute force). Planes are derived from a portable md5 hash so
+  DuckDB reproduces the buckets bit-for-bit.
+* ``ann_bucket_topk`` — the composed scale path: exact cosine top-1 within
+  each LSH bucket.
+
+Floating-point parity: both engines cast float32→double and reduce the
+64-dim lists sequentially left-to-right, so sums are bit-identical; scores
+are rounded to 6 decimals anyway.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from levenshtein_spark.driver_queries import tbl
+from levenshtein_spark.functions.vectors import cosine, lsh_bucket
+
+_N_PROBES = 10
+_TOP_K = 5
+_PLANES = 8
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 10 vectors (brute force)."""
+    e = tbl(spark, sf, "embeddings")
+    probes = e.where(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    scored = e.crossJoin(F.broadcast(probes)).where(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (8 sign bits)."""
+    e = tbl(spark, sf, "embeddings")
+    return e.select("vec_id", lsh_bucket(F.col("embedding"), _PLANES, seed=0).alias("bucket"))
+
+
+def q_ann_bucket_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path: exact cosine top-1 within each LSH bucket."""
+    e = tbl(spark, sf, "embeddings").select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding"), _PLANES, seed=0).alias("bucket")
+    )
+    l, r = e.alias("l"), e.alias("r")
+    scored = (
+        l.join(r, "bucket")
+        .where(F.col("l.vec_id") != F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("query_id"),
+            F.col("r.vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("l.embedding"), F.col("r.embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+
+
+QUERIES = {
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_bucket_topk": q_ann_bucket_topk,
+}
+
+# -- DuckDB twins -------------------------------------------------------------
+_DD_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_DD_NORM = (
+    "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def _dd_cosine(a: str, b: str) -> str:
+    dot = _DD_DOT.format(a=a, b=b)
+    na, nb = _DD_NORM.format(v=a), _DD_NORM.format(v=b)
+    return (
+        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
+        f"ELSE {dot} / ({na} * {nb}) END"
+    )
+
+
+def _dd_lsh_bucket(v: str) -> str:
+    """Mirror of functions.vectors.lsh_bucket: per-plane projection =
+    sum_i v[i] * (md5-hash(seed,p,i-1)/16^8 - 0.5); bucket bit = sign."""
+    terms = []
+    for p in range(_PLANES):
+        w = (
+            f"(('0x' || substr(md5(concat_ws('_', '0', '{p}', "
+            f"CAST(i - 1 AS VARCHAR))), 1, 8))::BIGINT / {float(16**8)} - 0.5)"
+        )
+        proj = f"list_sum(list_transform(range(1, len({v}) + 1), i -> CAST({v}[i] AS DOUBLE) * {w}))"
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+ORACLES = {
+    "ann_cosine_topk": f"""
+WITH probes AS (
+  SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < {_N_PROBES}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round({_dd_cosine('p.q', 'e.embedding')}, 6) AS cos_sim
+  FROM probes p CROSS JOIN embeddings e
+  WHERE e.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_TOP_K}
+""",
+    "ann_lsh_buckets": f"""
+SELECT vec_id, {_dd_lsh_bucket('embedding')} AS bucket FROM embeddings
+""",
+    "ann_bucket_topk": f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_dd_lsh_bucket('embedding')} AS bucket FROM embeddings
+),
+scored AS (
+  SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+         round({_dd_cosine('l.embedding', 'r.embedding')}, 6) AS cos_sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn = 1
+""",
+}

@@ -1,2 +1,250 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Training-data deduplication suite over the documents table.
+
+Four dedup families, each a distinct scale strategy:
+
+* **exact**       — content-hash grouping (the sha256 short-circuit family);
+* **MinHash LSH** — word-bigram shingles → portable MinHash signature → band
+  keys → candidate pairs, verified with true bigram-set Jaccard;
+* **SimHash**     — 60-bit portable SimHash + Hamming-ball pairing;
+* **n-gram Jaccard** — character-3-gram sets within length-band blocks.
+
+All hashing is the md5-derived portable family, so every query has an exact
+DuckDB oracle (bit-for-bit signatures, band keys, and fingerprints).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from levenshtein_spark.driver_queries import tbl
+from levenshtein_spark.functions.hashing import (
+    hamming64,
+    minhash_band_keys,
+    minhash_signature,
+    simhash64,
+)
+from levenshtein_spark.functions.text import char_shingles, word_bigrams
+
+_NUM_HASHES = 8
+_BANDS = 4
+_HAM_MAX = 8
+_NGRAM_BAND = 64
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: canonical (minimum) doc_id per identical-content group."""
+    d = tbl(spark, sf, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.count(F.lit(1)).over(w) > 1).alias("has_dupes"),
+    )
+
+
+def _doc_band_keys(d: DataFrame) -> DataFrame:
+    sig = minhash_signature(word_bigrams(F.col("text")), _NUM_HASHES)
+    keys = minhash_band_keys(sig, _BANDS, _NUM_HASHES // _BANDS)
+    return d.select("doc_id", F.explode(keys).alias("band_key"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates + true word-bigram Jaccard.
+
+    Pairs sharing >= 1 of the {bands} band keys; Jaccard from distinct
+    bigram sets (array_intersect / array_union).
+    """
+    d = tbl(spark, sf, "documents")
+    keys = _doc_band_keys(d)
+    pairs = (
+        keys.alias("l")
+        .join(keys.alias("r"), "band_key")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    grams = d.select("doc_id", F.array_distinct(word_bigrams(F.col("text"))).alias("g"))
+    return (
+        pairs.join(grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a")), "doc_a")
+        .join(grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("g_a", "g_b")).cast("double")
+                / F.size(F.array_union("g_a", "g_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document 60-bit SimHash fingerprint (portable md5 hash family)."""
+    d = tbl(spark, sf, "documents")
+    from levenshtein_spark.functions.text import word_tokens
+
+    return d.select("doc_id", simhash64(word_tokens(F.col("text"))).alias("simhash"))
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= {ham} within length bands.
+
+    Banding on floor(n_chars/{band}) bounds the self-join fan-out the same way
+    the linkage pipeline's length grids do.
+    """
+    d = tbl(spark, sf, "documents")
+    from levenshtein_spark.functions.text import word_tokens
+
+    sh = d.select(
+        "doc_id",
+        F.floor(F.col("n_chars") / _NGRAM_BAND).alias("band"),
+        simhash64(word_tokens(F.col("text"))).alias("simhash"),
+    )
+    l, r = sh.alias("l"), sh.alias("r")
+    return (
+        l.join(r, "band")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming64(F.col("l.simhash"), F.col("r.simhash")).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= _HAM_MAX)
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-3-gram Jaccard >= 0.5 within (lang, length-band) blocks."""
+    d = tbl(spark, sf, "documents")
+    g = d.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / _NGRAM_BAND).alias("band"),
+        char_shingles(F.col("text"), 3).alias("g"),
+    )
+    l, r = g.alias("l"), g.alias("r")
+    return (
+        l.join(r, ["lang", "band"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("l.g", "r.g")).cast("double")
+                / F.size(F.array_union("l.g", "r.g")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+_DD_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+_DD_BIGRAMS = f"""
+list_transform(
+  range(1, greatest(len({_DD_TOKENS}) - 1, 1) + 1),
+  i -> array_to_string(list_slice({_DD_TOKENS}, i, i + 1), '_'))
+"""
+
+
+def _dd_minhash_keys_sql() -> str:
+    rows = _NUM_HASHES // _BANDS
+    slots = [
+        f"list_min(list_transform(g, t -> (('0x' || substr(md5(concat('{i}', chr(31), t)), 1, 15))::BIGINT)))"
+        for i in range(_NUM_HASHES)
+    ]
+    keys = []
+    for b in range(_BANDS):
+        part = slots[b * rows : (b + 1) * rows]
+        joined = " || '_' || ".join(f"CAST({s} AS VARCHAR)" for s in part)
+        keys.append(f"'b{b}:' || md5({joined})")
+    selects = [
+        f"SELECT doc_id, {k} AS band_key FROM (SELECT doc_id, {_DD_BIGRAMS} AS g FROM documents) t"
+        for k in keys
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+_DD_SIMHASH = None
+
+
+def _dd_simhash_sql() -> str:
+    """votes per bit over token hashes; simhash = sum of set-bit weights."""
+    h = f"list_transform({_DD_TOKENS}, t -> (('0x' || substr(md5(t), 1, 15))::BIGINT))"
+    bits = []
+    for b in range(60):
+        vote = (
+            f"list_sum(list_transform(h, v -> CASE WHEN (v >> {b}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)")
+    total = " + ".join(bits)
+    return f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM (SELECT doc_id, {h} AS h FROM documents) t"
+
+
+_DD_SHINGLES = """
+list_distinct(list_transform(range(1, greatest(strlen(text) - 2, 1) + 1),
+                             i -> substr(text, i, 3)))
+"""
+
+ORACLES = {
+    "dedup_exact": """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       (count(*) OVER (PARTITION BY md5(text)) > 1) AS has_dupes
+FROM documents
+""",
+    "dedup_minhash": f"""
+WITH keys AS ({_dd_minhash_keys_sql()}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM keys l JOIN keys r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+grams AS (SELECT doc_id, list_distinct({_DD_BIGRAMS}) AS g FROM documents)
+SELECT p.doc_a, p.doc_b,
+       round(len(list_intersect(a.g, b.g)) * 1.0 /
+             (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+FROM pairs p
+JOIN grams a ON a.doc_id = p.doc_a
+JOIN grams b ON b.doc_id = p.doc_b
+""",
+    "dedup_simhash": _dd_simhash_sql(),
+    "dedup_simhash_pairs": f"""
+WITH sh AS (
+  SELECT d.doc_id, CAST(floor(d.n_chars / {_NGRAM_BAND}) AS BIGINT) AS band, s.simhash
+  FROM documents d JOIN ({_dd_simhash_sql()}) s USING (doc_id)
+)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM sh l JOIN sh r ON l.band = r.band AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {_HAM_MAX}
+""",
+    "dedup_ngram_jaccard": f"""
+WITH g AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / {_NGRAM_BAND}) AS BIGINT) AS band,
+         {_DD_SHINGLES} AS g
+  FROM documents
+)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       round(len(list_intersect(l.g, r.g)) * 1.0 /
+             (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))), 6) AS jaccard
+FROM g l JOIN g r ON l.lang = r.lang AND l.band = r.band AND l.doc_id < r.doc_id
+WHERE round(len(list_intersect(l.g, r.g)) * 1.0 /
+            (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))), 6) >= 0.5
+""",
+}

@@ -1,2 +1,158 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Relational integration queries — the host-DBMS role the reference's UDFs
+plug into (doc/Usage.md query shapes), plus general analytics breadth.
+
+* ``similar_names_by_nation`` — scan + UDF filter + join + aggregate: the
+  reference's `SELECT ... WHERE bounded_edit_dist(...) <= k` pattern
+  (doc/Usage.md:101-108) lifted to a per-nation fuzzy-match census, with the
+  small nation dim broadcast.
+* ``events_sessionize`` — sessionization via lag window (30-min gap rule).
+* ``pricing_rollup`` — TPC-H-Q1-shaped aggregate pushdown over lineitem.
+* ``top_customers_by_revenue`` — join + agg + top-k.
+* ``daily_event_stats`` — date_trunc rollup with a 7-day moving average.
+
+Double aggregates are rounded (sums to 2 decimals, averages to 4) because
+distributed partial aggregation sums doubles in a different order than
+DuckDB's sequential scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from levenshtein_spark.driver_queries import tbl
+from levenshtein_spark.functions.distance import bounded_edit_dist_builtin
+
+
+def q_similar_names_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Count of customer pairs with name distance <= 1 per nation."""
+    c = tbl(spark, sf, "customer")
+    n = tbl(spark, sf, "nation")
+    l = c.select("c_nationkey", F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
+    r = c.select("c_nationkey", F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
+    pairs = (
+        l.join(r, "c_nationkey")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(bounded_edit_dist_builtin("name_a", "name_b", 1) <= 1)
+    )
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "pair_count")
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessions per user: a new session starts after a >30-minute gap."""
+    e = tbl(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; epoch seconds via an LTZ hop (gaps are TZ-invariant)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    marked = e.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("new_session").cast("long").alias("n_sessions"),
+    )
+
+
+def q_pricing_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: lineitem pricing summary by returnflag/linestatus."""
+    li = tbl(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_customers_by_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Top 10 customers by total order value (join + agg + top-k)."""
+    o = tbl(spark, sf, "orders")
+    c = tbl(spark, sf, "customer")
+    rev = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    return (
+        rev.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+def q_daily_event_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Events per day with a 7-day trailing moving average."""
+    e = tbl(spark, sf, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("day").cast("date").cast("string").alias("day"),
+        "n_events",
+        F.round(F.avg("n_events").over(w), 4).alias("ma7"),
+    )
+
+
+QUERIES = {
+    "similar_names_by_nation": q_similar_names_by_nation,
+    "events_sessionize": q_events_sessionize,
+    "pricing_rollup": q_pricing_rollup,
+    "top_customers_by_revenue": q_top_customers_by_revenue,
+    "daily_event_stats": q_daily_event_stats,
+}
+
+ORACLES = {
+    "similar_names_by_nation": """
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS pair_count
+FROM customer a
+JOIN customer b ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+JOIN nation n ON n.n_nationkey = a.c_nationkey
+WHERE least(levenshtein(a.c_name, b.c_name),
+            least(1, greatest(length(a.c_name), length(b.c_name))) + 1) <= 1
+GROUP BY n.n_name
+""",
+    "events_sessionize": """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+""",
+    "pricing_rollup": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    "top_customers_by_revenue": """
+SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 10
+""",
+    "daily_event_stats": """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day, n_events,
+       round(avg(n_events) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM daily
+""",
+}

@@ -1,2 +1,156 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Text-analysis suite over the documents table (training-data pipeline ops).
+
+Token counting, quality scoring, language ID, and winnowing fingerprints —
+all JVM-side column expressions (functions/text.py), each with an exact
+DuckDB twin. Ratios are rounded to 6 decimals on both sides; the underlying
+arithmetic is identical IEEE double math so the rounding is stable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from levenshtein_spark.driver_queries import tbl
+from levenshtein_spark.functions.text import (
+    STOPWORDS,
+    digit_ratio,
+    lang_guess,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+    word_tokens,
+)
+
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token/character statistics."""
+    d = tbl(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(digit_ratio(F.col("text")), 6).alias("digit_ratio"),
+        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite [0,1] quality score (Gopher-rules family)."""
+    d = tbl(spark, sf, "documents")
+    return d.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+def q_text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-vote language ID vs the table's labeled lang column."""
+    d = tbl(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        lang_guess(F.col("text")).alias("guess"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprint: min 8-gram rolling hash."""
+    d = tbl(spark, sf, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text"), 8).alias("fingerprint"))
+
+
+def q_text_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level token frequency: top 20 word tokens (classic wordcount)."""
+    d = tbl(spark, sf, "documents")
+    return (
+        d.select(F.explode(word_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "text_top_tokens": q_text_top_tokens,
+}
+
+_DD_WS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
+_DD_WORDS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_PUNCT = r"[!-/:-@\[-`{-~]"
+
+
+def _dd_stopword_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_DD_WORDS}, t -> list_contains([{words}], t)))"
+
+
+def _dd_lang_guess() -> str:
+    langs = sorted(STOPWORDS)
+    counts = {lang: _dd_stopword_count(lang) for lang in langs}
+    best = f"greatest({', '.join(counts.values())})"
+    expr = "'und'"
+    for lang in reversed(langs):  # earlier langs win ties -> apply last
+        expr = (
+            f"CASE WHEN {counts[lang]} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr
+
+
+_DD_MEAN_WLEN = (
+    f"(list_sum(list_transform({_DD_WS}, t -> strlen(t))) * 1.0 /"
+    f" greatest(len({_DD_WS}), 1))"
+)
+
+# quality_score mirror: (length_factor + alpha + stopword + wordlen) / 4
+_DD_QUALITY = f"""(
+  least(strlen(text) / 500.0, 1.0)
+  + (strlen(text) - strlen(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0
+    / greatest(strlen(text), 1)
+  + least(({_dd_stopword_count('en')} * 1.0 / greatest(len({_DD_WORDS}), 1)) * 5.0, 1.0)
+  + (CASE WHEN {_DD_MEAN_WLEN} >= 3 AND {_DD_MEAN_WLEN} <= 10 THEN 1.0 ELSE 0.5 END)
+) / 4.0"""
+
+_DD_FP = """
+list_min(list_transform(
+  list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+                 i -> array_to_string(list_slice(w, i, i + 7), ' ')),
+  g -> (('0x' || substr(md5(g), 1, 15))::BIGINT)))
+"""
+
+ORACLES = {
+    "text_stats": f"""
+SELECT doc_id,
+       CAST(len({_DD_WS}) AS BIGINT) AS n_tokens,
+       CAST(len({_DD_WORDS}) AS BIGINT) AS n_words,
+       round((strlen(text) - strlen(regexp_replace(text, '{_PUNCT}', '', 'g'))) * 1.0
+             / greatest(strlen(text), 1), 6) AS punct_ratio,
+       round((strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+             / greatest(strlen(text), 1), 6) AS digit_ratio,
+       round({_DD_MEAN_WLEN}, 6) AS mean_word_len
+FROM documents
+""",
+    "text_quality": f"""
+SELECT doc_id, round({_DD_QUALITY}, 6) AS quality FROM documents
+""",
+    "text_lang_id": f"""
+SELECT doc_id, lang AS label, {_dd_lang_guess()} AS guess FROM documents
+""",
+    "text_fingerprint": f"""
+SELECT doc_id, {_DD_FP} AS fingerprint
+FROM (SELECT doc_id, {_DD_WORDS} AS w FROM documents) t
+""",
+    "text_top_tokens": f"""
+SELECT token, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT unnest({_DD_WORDS}) AS token FROM documents) t
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 20
+""",
+}

@@ -28,6 +28,18 @@ def word_tokens(col) -> Column:
     )
 
 
+def word_bigrams(col) -> Column:
+    """Word-bigram shingles (array<string>, 'tok1_tok2') — the MinHash unit
+    for content near-dup detection (unigram sets are too coarse on small
+    vocabularies). A single-token document yields its token as the shingle."""
+    toks = word_tokens(col)
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws("_", F.slice(toks, i, 2)),
+    )
+
+
 def token_count(col) -> Column:
     """Whitespace token count — the unit of LLM-corpus budgeting."""
     return F.size(ws_tokens(col))
