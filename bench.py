@@ -51,10 +51,11 @@ def main() -> None:
     from levenshtein_spark.functions.distance import bounded_edit_dist_t
     from levenshtein_spark.operators.blocking import exploded_blocks
     from levenshtein_spark.operators.normalize import normalize
-    from levenshtein_spark.operators.pairs import candidate_pairs
-    from levenshtein_spark.session import get_spark
+    from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
+    from levenshtein_spark.session import get_spark, warm_python_workers
 
     spark = get_spark("bench")
+    warm_python_workers(spark)
     times: dict[str, float] = {}
     detail: dict[str, float] = {}
 
@@ -70,11 +71,26 @@ def main() -> None:
 
     # q2: documents blocking + salted candidate pairs (cache pairs for q3)
     norm = normalize(docs_as_code_files(spark, sf_dir), prefix_len=_PREFIX)
-    pairs = candidate_pairs(
-        exploded_blocks(norm, len_band=_LEN_BAND), hot_threshold=200, num_salts=8
+    # hot_threshold low enough that the big length-band blocks route through
+    # the lossless triangle-salted join — the skew path is part of the bench
+    slim_pairs = candidate_pairs(
+        exploded_blocks(norm, len_band=_LEN_BAND).persist(), hot_threshold=50, num_salts=8
+    )
+    pairs = attach_pair_payload(slim_pairs, norm, ["content_prefix"]).select(
+        "content_prefix_a", "content_prefix_b"
     ).persist()
     n_pairs = clock("doc_block_pairs", pairs.count)
     detail["candidate_pairs"] = float(n_pairs)
+
+    # q2b: Arrow round-trip floor (reference noop, src/noop.cpp:1-8)
+    from levenshtein_spark.functions.distance import noop
+
+    clock(
+        "arrow_noop",
+        lambda: pairs.select(noop("content_prefix_a", "content_prefix_b").alias("d"))
+        .agg(F.sum("d"))
+        .collect(),
+    )
 
     # q3: vectorized banded-OSA kernel over content prefixes
     def score() -> int:

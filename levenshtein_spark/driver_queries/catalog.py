@@ -109,8 +109,23 @@ def q_min_edit_dist(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_name").alias("best_name"),
         D.bounded_edit_dist("probe", "c_name", 6).alias("dist"),
     )
-    w = Window.partitionBy("probe").orderBy("dist", "best_name")
-    return scored.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    # map-side arg-min: min(struct) is lexicographic = ORDER BY dist, name,
+    # and partially aggregates in every task (no single-partition window)
+    best = scored.groupBy("probe").agg(F.min(F.struct("dist", "best_name")).alias("b"))
+    return best.select("probe", F.col("b.best_name").alias("best_name"), F.col("b.dist").alias("dist"))
+
+
+def q_min_edit_dist_t(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference ``min_edit_dist_t``: closest candidate by bounded OSA."""
+    probes = spark.createDataFrame([(p,) for p in _PROBES_CUST], "probe string")
+    cand = tbl(spark, sf, "customer").where("c_custkey < 150")
+    scored = cand.crossJoin(F.broadcast(probes)).select(
+        "probe",
+        F.col("c_name").alias("best_name"),
+        D.bounded_edit_dist_t("probe", "c_name", 6).alias("dist"),
+    )
+    best = scored.groupBy("probe").agg(F.min(F.struct("dist", "best_name")).alias("b"))
+    return best.select("probe", F.col("b.best_name").alias("best_name"), F.col("b.dist").alias("dist"))
 
 
 def q_min_similarity_t(spark: SparkSession, sf: str) -> DataFrame:
@@ -122,8 +137,13 @@ def q_min_similarity_t(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_name").alias("best_name"),
         F.round(D.similarity_t("probe", "c_name", 0.5), 6).alias("sim"),
     )
-    w = Window.partitionBy("probe").orderBy(F.col("sim").desc(), "best_name")
-    return scored.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    # arg-max on (sim DESC, name ASC) = arg-min on (-sim, name)
+    best = scored.groupBy("probe").agg(
+        F.min(F.struct((-F.col("sim")).alias("neg"), "best_name")).alias("b")
+    )
+    return best.select(
+        "probe", F.col("b.best_name").alias("best_name"), (-F.col("b.neg")).alias("sim")
+    )
 
 
 def q_top_k_matches(spark: SparkSession, sf: str) -> DataFrame:
@@ -148,6 +168,7 @@ QUERIES = {
     "bounded_edit_dist_t": q_bounded_edit_dist_t,
     "similarity_t": q_similarity_t,
     "min_edit_dist": q_min_edit_dist,
+    "min_edit_dist_t": q_min_edit_dist_t,
     "min_similarity_t": q_min_similarity_t,
     "top_k_matches": q_top_k_matches,
 }
@@ -208,6 +229,24 @@ scored AS (
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY probe ORDER BY dist, best_name) AS rn
   FROM scored
+)
+SELECT probe, best_name, dist FROM ranked WHERE rn = 1
+""",
+    "min_edit_dist_t": f"""
+WITH RECURSIVE {osa_cte('''
+SELECT (p.pnum * 1000000 + c.c_custkey) AS pid, p.probe AS s1, c.c_name AS s2
+FROM (SELECT row_number() OVER () AS pnum, probe
+      FROM (VALUES ''' + _PROBE_VALUES_CUST + ''') t(probe)) p
+CROSS JOIN customer c WHERE c.c_custkey < 150
+''')},
+vals AS (
+  SELECT r.pid, p.s1 AS probe, p.s2 AS best_name,
+         CAST({bounded_osa_expr(6, "length(p.s1)", "length(p.s2)")} AS BIGINT) AS dist
+  FROM osa_result r JOIN osa_pairs p USING (pid)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe ORDER BY dist, best_name) AS rn
+  FROM vals
 )
 SELECT probe, best_name, dist FROM ranked WHERE rn = 1
 """,

@@ -56,7 +56,9 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     bigram sets (array_intersect / array_union).
     """
     d = tbl(spark, sf, "documents")
-    keys = _doc_band_keys(d)
+    # persisted: consumed on both sides of the band-key self-join, and the
+    # MinHash signature expression is expensive to recompute
+    keys = _doc_band_keys(d).persist()
     pairs = (
         keys.alias("l")
         .join(keys.alias("r"), "band_key")

@@ -27,7 +27,7 @@ from levenshtein_spark.driver_queries import tbl
 from levenshtein_spark.operators.blocking import exploded_blocks
 from levenshtein_spark.operators.clustering import cluster_labels
 from levenshtein_spark.operators.normalize import normalize
-from levenshtein_spark.operators.pairs import candidate_pairs
+from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
 from levenshtein_spark.operators.scoring import edges as edges_of
 from levenshtein_spark.operators.scoring import score_pairs
 
@@ -73,9 +73,15 @@ def q_linkage_blocks(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_linkage_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Stage 2: distinct candidate pairs with per-pair key multiplicity;
-    hot blocks routed through the lossless triangle-salted join."""
+    hot blocks routed through the lossless triangle-salted join.
+
+    Blocks are persisted: the pair operator consumes them four ways (size
+    census, hot/normal split, both join sides) and the MinHash expressions
+    are costly to recompute. In the production plan the blocks stage is a
+    materialized checkpoint table, which serves the same purpose.
+    """
     n = normalize(docs_as_code_files(spark, sf), prefix_len=_PREFIX)
-    blocks = exploded_blocks(n, len_band=_LEN_BAND)
+    blocks = exploded_blocks(n, len_band=_LEN_BAND).persist()
     return candidate_pairs(blocks, hot_threshold=200, num_salts=4).select(
         "id_a", "id_b", F.col("n_keys").cast("long").alias("n_keys")
     )
@@ -85,23 +91,46 @@ def q_linkage_pairs(spark: SparkSession, sf: str) -> DataFrame:
 # customer track
 # ---------------------------------------------------------------------------
 def _customer_blocks(spark: SparkSession, sf: str) -> DataFrame:
-    """Customers in the blocked-record shape the pair/score operators expect:
-    one block per nation (the 'lang key' of this corpus)."""
+    """Customers in the blocked-record shape the pair/score operators expect.
+
+    Pigeonhole segment blocking: customer names are fixed-length
+    ('Customer#%09d'), so a pair at edit distance <= 1 can only differ by one
+    substitution, which touches at most one of the three 3-digit segments —
+    the pair therefore agrees exactly on >= 2 segments. Blocking on (nation,
+    segment-pair) is lossless for the dist<=1 edge rule while cutting the
+    candidate fan-out ~13x vs a per-nation cross product (the set-level
+    analogue of the reference's length-difference pre-exit,
+    src/prealgorithm.h:77-86, generalized to position pigeonholes)."""
+    c = tbl(spark, sf, "customer")
+    s1, s2, s3 = (F.substring("c_name", pos, 3) for pos in (10, 13, 16))
+    nat = F.col("c_nationkey").cast("string")
+    keys = F.array(
+        F.concat_ws("|", nat, F.lit("a"), s1, s2),
+        F.concat_ws("|", nat, F.lit("b"), s1, s3),
+        F.concat_ws("|", nat, F.lit("c"), s2, s3),
+    )
+    return c.select(F.explode(keys).alias("block_key"), F.col("c_custkey").alias("id"))
+
+
+def _customer_records(spark: SparkSession, sf: str) -> DataFrame:
     c = tbl(spark, sf, "customer")
     return c.select(
-        F.col("c_nationkey").cast("string").alias("block_key"),
         F.col("c_custkey").alias("id"),
         F.sha2(F.col("c_name"), 256).alias("sha"),
         F.col("c_name").alias("path_base"),
         F.col("c_name").alias("content_prefix"),
-        F.octet_length("c_name").alias("content_len"),
     )
 
 
 def _customer_scored(spark: SparkSession, sf: str) -> DataFrame:
-    blocks = _customer_blocks(spark, sf)
-    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8)
-    return score_pairs(pairs, k_content=1, k_path=2, transpositions=False)
+    blocks = _customer_blocks(spark, sf).persist()
+    # pairs persisted: score_pairs consumes them twice (sha-equal branch ∪
+    # fuzzy branch); in the production plan this is the pairs checkpoint.
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).persist()
+    fat = attach_pair_payload(
+        pairs, _customer_records(spark, sf), ["sha", "path_base", "content_prefix"]
+    )
+    return score_pairs(fat, k_content=1, k_path=2, transpositions=False)
 
 
 def q_linkage_score(spark: SparkSession, sf: str) -> DataFrame:
@@ -199,11 +228,19 @@ def _docs_blocks_sql() -> str:
     return f"WITH norm AS ({_DOCS_NORM})\n" + "\nUNION ALL\n".join(selects)
 
 
+# candidate universe of the segment blocking (>= 2 of 3 digit segments equal)
 _CUST_PAIRS = """
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        a.c_name AS name_a, b.c_name AS name_b
-FROM customer a JOIN customer b
+FROM (SELECT c_custkey, c_name, c_nationkey, substr(c_name, 10, 3) AS s1,
+             substr(c_name, 13, 3) AS s2, substr(c_name, 16, 3) AS s3
+      FROM customer) a
+JOIN (SELECT c_custkey, c_name, c_nationkey, substr(c_name, 10, 3) AS s1,
+             substr(c_name, 13, 3) AS s2, substr(c_name, 16, 3) AS s3
+      FROM customer) b
   ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+ AND ((a.s1 = b.s1 AND a.s2 = b.s2) OR (a.s1 = b.s1 AND a.s3 = b.s3)
+      OR (a.s2 = b.s2 AND a.s3 = b.s3))
 """
 
 # reference bounded convention: k_eff = least(k, max(len)), exceeded → k_eff+1

@@ -109,6 +109,26 @@ def similarity_t(a, b, p) -> Column:
                         p.cast("double"))
 
 
+def edit_dist_t_2d(a, b) -> Column:
+    """Reference ``edit_dist_t_2d`` (src/edit_dist_t_2d.cpp): full-matrix OSA,
+    shipped "for testing and benchmarking purposes only". Semantically
+    identical to ``edit_dist_t``; the full-matrix algorithm itself lives in
+    ``levenshtein_spark.oracle`` (tests) and the recursive-CTE SQL oracle."""
+    return edit_dist_t(a, b)
+
+
+@pandas_udf(LongType())
+def _noop_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([0] * len(a))
+
+
+def noop(a, b) -> Column:
+    """Reference ``noop`` (src/noop.cpp:1-8): returns immediately — the
+    benchmark floor measuring pure Arrow round-trip overhead."""
+    return _noop_udf(F.col(a) if isinstance(a, str) else a,
+                     F.col(b) if isinstance(b, str) else b)
+
+
 def edit_dist_builtin(a, b) -> Column:
     """JVM whole-stage-codegen Levenshtein with reference NULL semantics.
 

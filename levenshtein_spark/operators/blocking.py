@@ -53,15 +53,11 @@ def with_block_keys(normalized: DataFrame, **kw) -> DataFrame:
 
 
 def exploded_blocks(normalized: DataFrame, **kw) -> DataFrame:
-    """(block_key, id, …scoring columns) — one row per (row, key)."""
-    return (
-        with_block_keys(normalized, **kw)
-        .select(
-            F.explode("block_keys").alias("block_key"),
-            "id",
-            "sha",
-            "path_base",
-            "content_prefix",
-            "content_len",
-        )
+    """Slim (block_key, id) — one row per (row, key).
+
+    Deliberately payload-free: the pair-generation shuffles are the biggest
+    data movers in the pipeline, and scoring re-attaches payload from the
+    per-id normalized table (operators.pairs.attach_pair_payload)."""
+    return with_block_keys(normalized, **kw).select(
+        F.explode("block_keys").alias("block_key"), "id"
     )

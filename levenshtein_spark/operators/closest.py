@@ -6,8 +6,10 @@ src/min_edit_dist_t.cpp:76-83,141-144,310) and are explicitly documented as
 order-dependent — only the row achieving the query-global minimum is
 guaranteed accurate (doc/Usage.md:173-176, ReadMe.md:42). That contract is an
 *arg-min aggregation*, not a scalar column, so here it becomes one:
-deterministic, parallel, and identical at the query level for the row the
-reference guarantees.
+``groupBy(probe).agg(min(struct(dist, candidate)))`` — lexicographic struct
+ordering reproduces the reference example's ``ORDER BY EditDist, Name asc``
+tie-break, and the aggregation combines map-side in every task (no
+single-partition-per-probe window sort).
 
 The reference's adaptive-cap speedup (≈2/3 runtime, doc/Benchmarks.md:25) is
 recovered differently at scale: *iterative deepening* — score every probe at
@@ -28,26 +30,23 @@ def min_edit_dist_t(
     probe_col: str,
     cand_col: str,
     k: int,
-    tie_break: str | None = None,
+    dist_fn=bounded_edit_dist_t,
 ) -> DataFrame:
-    """For each probe row, the closest candidate by bounded OSA distance.
-
-    Mirrors ``SELECT ... ORDER BY min_edit_dist(...) LIMIT 1``
-    (doc/Usage.md:178-189). Ties break on the candidate string ascending
-    (the reference example's ``ORDER BY EditDist, Name asc``).
+    """For each probe row, the closest candidate by bounded OSA distance
+    (mirrors ``SELECT ... ORDER BY min_edit_dist(...) LIMIT 1``,
+    doc/Usage.md:178-189; ties break on the candidate string ascending).
 
     ``probes`` is broadcast — the reference's use case is a handful of probe
     strings against a large table, so the cross join must never shuffle the
-    candidate side.
+    candidate side. Pass ``dist_fn=bounded_edit_dist`` for the
+    no-transpositions variant (reference ``min_edit_dist``).
     """
-    tie = tie_break or cand_col
-    crossed = candidates.crossJoin(F.broadcast(probes))
-    scored = crossed.withColumn("dist", bounded_edit_dist_t(probe_col, cand_col, k))
-    w = Window.partitionBy(probe_col).orderBy(F.col("dist").asc(), F.col(tie).asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    scored = candidates.crossJoin(F.broadcast(probes)).select(
+        probe_col, cand_col, dist_fn(probe_col, cand_col, k).alias("dist")
+    )
+    best = scored.groupBy(probe_col).agg(F.min(F.struct("dist", cand_col)).alias("b"))
+    return best.select(
+        probe_col, F.col(f"b.{cand_col}").alias(cand_col), F.col("b.dist").alias("dist")
     )
 
 
@@ -59,14 +58,18 @@ def min_similarity_t(
     p: float,
 ) -> DataFrame:
     """For each probe row, the most similar candidate (reference
-    ``min_similarity_t``): max similarity, ties on candidate ascending."""
-    crossed = candidates.crossJoin(F.broadcast(probes))
-    scored = crossed.withColumn("sim", similarity_t(probe_col, cand_col, p))
-    w = Window.partitionBy(probe_col).orderBy(F.col("sim").desc(), F.col(cand_col).asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    ``min_similarity_t``): max similarity, ties on candidate ascending —
+    arg-max via min(struct(-sim, candidate))."""
+    scored = candidates.crossJoin(F.broadcast(probes)).select(
+        probe_col, cand_col, similarity_t(probe_col, cand_col, p).alias("sim")
+    )
+    best = scored.groupBy(probe_col).agg(
+        F.min(F.struct((-F.col("sim")).alias("neg"), cand_col)).alias("b")
+    )
+    return best.select(
+        probe_col,
+        F.col(f"b.{cand_col}").alias(cand_col),
+        (-F.col("b.neg")).alias("sim"),
     )
 
 
@@ -78,8 +81,13 @@ def top_k_matches(
     k: int,
     top: int = 10,
 ) -> DataFrame:
-    """Top-N nearest candidates per probe by bounded OSA distance."""
-    crossed = candidates.crossJoin(F.broadcast(probes))
-    scored = crossed.withColumn("dist", bounded_edit_dist_t(probe_col, cand_col, k))
+    """Top-N nearest candidates per probe by bounded OSA distance.
+
+    Needs a rank, so this one stays a window; with a handful of probes the
+    per-probe sort is the unavoidable cost of a ranked result.
+    """
+    scored = candidates.crossJoin(F.broadcast(probes)).select(
+        probe_col, cand_col, bounded_edit_dist_t(probe_col, cand_col, k).alias("dist")
+    )
     w = Window.partitionBy(probe_col).orderBy(F.col("dist").asc(), F.col(cand_col).asc())
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= top)

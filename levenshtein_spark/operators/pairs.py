@@ -18,7 +18,11 @@ This is lossless — unlike sub-block salting there is no recall hit — and is
 the explicit skew handling the north_rule requires on top of AQE's
 skew-join splitting (which cannot help the pair *fan-out*, only scan skew).
 
-Pairs produced under several block keys are deduplicated by (id_a, id_b).
+**The pair stream is slim**: only ``(id_a, id_b)`` flows through the join,
+union, and dedup shuffles — at web scale the pair count is a multiple of the
+row count, so every byte of payload carried per pair multiplies the dominant
+shuffle. Scoring re-attaches payload columns from the (much smaller) per-id
+record table via ``attach_pair_payload``.
 """
 
 from __future__ import annotations
@@ -29,83 +33,66 @@ from pyspark.sql import DataFrame
 DEFAULT_HOT_THRESHOLD = 2000
 DEFAULT_SALTS = 16
 
-_SIDE_COLS = ["id", "sha", "path_base", "content_prefix", "content_len"]
-
-
-def _rename(df: DataFrame, suffix: str) -> DataFrame:
-    for c in _SIDE_COLS:
-        df = df.withColumnRenamed(c, f"{c}_{suffix}")
-    return df
-
 
 def candidate_pairs(
     blocks: DataFrame,
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
     num_salts: int = DEFAULT_SALTS,
 ) -> DataFrame:
-    """exploded blocks → distinct candidate pairs (id_a < id_b).
+    """exploded blocks (block_key, id, …) → distinct slim candidate pairs.
 
-    Output columns: id_a, id_b, sha_a, sha_b, path_base_a/b,
-    content_prefix_a/b, n_keys (how many block keys generated the pair).
+    Output: ``id_a < id_b``, plus ``n_keys`` = number of block keys that
+    generated the pair (a useful blocking-quality signal).
     """
-    sizes = blocks.groupBy("block_key").count()
+    slim = blocks.select("block_key", "id")
+    sizes = slim.groupBy("block_key").count()
     # The set of hot keys is tiny (they are, by definition, the outliers):
     # broadcast it back onto the rows.
     hot_keys = sizes.where(F.col("count") > hot_threshold).select("block_key")
-    tagged = blocks.join(F.broadcast(hot_keys.withColumn("is_hot", F.lit(True))), "block_key", "left")
+    tagged = slim.join(
+        F.broadcast(hot_keys.withColumn("is_hot", F.lit(True))), "block_key", "left"
+    )
 
     normal = tagged.where(F.col("is_hot").isNull()).drop("is_hot")
     hot = tagged.where(F.col("is_hot")).drop("is_hot")
 
-    pn = _join_block(normal)
+    # Symmetric self-join: keep the canonical order.
+    a = normal.withColumnRenamed("id", "id_a")
+    b = normal.withColumnRenamed("id", "id_b")
+    pn = a.join(b, "block_key").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
 
     # Triangle salted join for hot blocks.
     hot_s = hot.withColumn("salt", F.pmod(F.xxhash64("id"), F.lit(num_salts)).cast("int"))
-    left = hot_s.withColumn(
-        "salt_t", F.explode(F.sequence(F.col("salt"), F.lit(num_salts - 1)))
-    ).drop("salt")
-    right = hot_s.withColumnRenamed("salt", "salt_t")
-    # A pair with salt_a < salt_b only ever meets with `a` on the left — its
-    # side order is arbitrary, so canonicalize by swapping, don't filter.
-    ph = _join_block(left, right, extra_key="salt_t", canonicalize=True)
-
-    pairs = pn.unionByName(ph)
-    agg = (
-        pairs.groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            *[F.first(f"{c}_a").alias(f"{c}_a") for c in _SIDE_COLS[1:]],
-            *[F.first(f"{c}_b").alias(f"{c}_b") for c in _SIDE_COLS[1:]],
+    left = (
+        hot_s.withColumn("salt_t", F.explode(F.sequence(F.col("salt"), F.lit(num_salts - 1))))
+        .drop("salt")
+        .withColumnRenamed("id", "id_l")
+    )
+    right = hot_s.withColumnRenamed("salt", "salt_t").withColumnRenamed("id", "id_r")
+    # A pair with salt_l < salt_r only ever meets with `l` on the left — its
+    # side order is arbitrary, so canonicalize by min/max, don't filter.
+    ph = (
+        left.join(right, ["block_key", "salt_t"])
+        .where(F.col("id_l") != F.col("id_r"))
+        .select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
         )
     )
-    return agg
 
-
-def _join_block(
-    left: DataFrame,
-    right: DataFrame | None = None,
-    extra_key: str | None = None,
-    canonicalize: bool = False,
-) -> DataFrame:
-    r = right if right is not None else left
-    keys = ["block_key"] + ([extra_key] if extra_key else [])
-    a = _rename(left, "a")
-    b = _rename(r, "b")
-    if not canonicalize:
-        # Symmetric self-join: both orders appear, keep the canonical one.
-        joined = a.join(b, on=keys).where(F.col("id_a") < F.col("id_b"))
-        return joined.select(
-            *[f"{c}_a" for c in _SIDE_COLS], *[f"{c}_b" for c in _SIDE_COLS]
-        )
-    joined = a.join(b, on=keys).where(F.col("id_a") != F.col("id_b"))
-    swap = F.col("id_a") > F.col("id_b")
-    return joined.select(
-        *[
-            F.when(swap, F.col(f"{c}_b")).otherwise(F.col(f"{c}_a")).alias(f"{c}_a")
-            for c in _SIDE_COLS
-        ],
-        *[
-            F.when(swap, F.col(f"{c}_a")).otherwise(F.col(f"{c}_b")).alias(f"{c}_b")
-            for c in _SIDE_COLS
-        ],
+    return pn.unionByName(ph).groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_keys")
     )
+
+
+def attach_pair_payload(pairs: DataFrame, records: DataFrame, cols: list[str]) -> DataFrame:
+    """Join per-id payload columns onto slim pairs as ``{col}_a`` / ``{col}_b``.
+
+    ``records`` must have one row per ``id``. Catalyst picks broadcast vs
+    sort-merge per side from statistics; at web scale this is two SMJ
+    shuffles of the slim pair stream, still far cheaper than dragging the
+    payload through the pair-generation shuffles.
+    """
+    a = records.select(F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in cols])
+    b = records.select(F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in cols])
+    return pairs.join(a, "id_a").join(b, "id_b")

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from levenshtein_spark.operators.blocking import exploded_blocks
 from levenshtein_spark.operators.clustering import cluster_labels
 from levenshtein_spark.operators.normalize import normalize
-from levenshtein_spark.operators.pairs import candidate_pairs
+from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
 from levenshtein_spark.operators.scoring import edges as edges_of
 from levenshtein_spark.operators.scoring import score_pairs
 from levenshtein_spark.sources.tables import Warehouse
@@ -80,7 +80,16 @@ def run_linkage(spark: SparkSession, source: DataFrame, cfg: LinkageConfig) -> d
         lambda: candidate_pairs(blocks, cfg.hot_threshold, cfg.num_salts),
     )
     scored = _stage(
-        wh, cfg, "scored", lambda: score_pairs(pairs, cfg.k_content, cfg.k_path)
+        wh,
+        cfg,
+        "scored",
+        lambda: score_pairs(
+            attach_pair_payload(
+                pairs, normalized, ["sha", "path_base", "content_prefix"]
+            ),
+            cfg.k_content,
+            cfg.k_path,
+        ),
     )
     edges = _stage(wh, cfg, "edges", lambda: edges_of(scored))
     clusters = _stage(

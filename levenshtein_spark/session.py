@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 
@@ -55,3 +56,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, partitions: int | None = None) -> None:
+    """Pay the one-time Python-worker fork/import cost up front.
+
+    The first Arrow-batched UDF stage on a cold session forks one Python
+    worker per core, each importing pandas/pyarrow (~35 s aggregate on 32
+    cores). Running a trivial pandas UDF across all cores once moves that
+    cost out of every measured/user query; workers are reused afterwards
+    (spark.python.worker.reuse defaults to true).
+    """
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    n = partitions or spark.sparkContext.defaultParallelism
+    spark.range(n, numPartitions=n).select(_warm(col("id"))).count()

@@ -48,9 +48,10 @@ def main() -> int:
     oracles = entry.oracle_sql()
     only = set(sys.argv[2:])
 
-    from levenshtein_spark.session import get_spark
+    from levenshtein_spark.session import get_spark, warm_python_workers
 
     spark = get_spark("check_correctness")
+    warm_python_workers(spark)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
