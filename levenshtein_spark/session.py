@@ -74,4 +74,10 @@ def warm_python_workers(spark: SparkSession, partitions: int | None = None) -> N
         return x
 
     n = partitions or spark.sparkContext.defaultParallelism
-    spark.range(n, numPartitions=n).select(_warm(col("id"))).count()
+    # sum() (not count()) so Catalyst can't prune the UDF column away —
+    # a pruned warm-up never forks a single worker
+    from pyspark.sql import functions as _F
+
+    spark.range(n, numPartitions=n).select(_warm(col("id")).alias("w")).agg(
+        _F.sum("w")
+    ).collect()
