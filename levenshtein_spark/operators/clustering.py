@@ -79,8 +79,9 @@ def connected_components(
 
     sig = _signature(e)
     for _ in range(max_iterations):
-        e = _large_star(e).localCheckpoint()
-        e = _small_star(e).localCheckpoint()
+        # one materialization per round: the two phases compose lazily and
+        # the checkpoint truncates lineage before the next iteration
+        e = _small_star(_large_star(e)).localCheckpoint()
         new_sig = _signature(e)
         if new_sig == sig:
             break

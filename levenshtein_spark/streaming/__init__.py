@@ -1,0 +1,4 @@
+from levenshtein_spark.streaming.linkage import (  # noqa: F401
+    stream_exact_dedup,
+    stream_fuzzy_link,
+)

@@ -1,0 +1,74 @@
+"""Structured Streaming operators: incremental dedup and linkage.
+
+The reference library is batch-only (a MySQL UDF has no streaming story);
+these operators extend the same kernel to continuously-arriving corpora —
+the shape a training-data ingestion pipeline needs:
+
+* ``stream_exact_dedup`` — watermarked exact dedup on the content sha256
+  (state-bounded ``dropDuplicates``: the watermark lets Spark expire
+  dedup state for event times older than the horizon, so state doesn't grow
+  forever at web scale).
+* ``stream_fuzzy_link`` — stream-static join: each arriving record is
+  blocked against a *static* reference table on the same block keys and
+  scored with the Arrow-batched bounded-OSA kernel. Stream-static equi-joins
+  are stateless on the stream side, so this scales with arrival rate, not
+  history.
+
+Both return unstarted streaming DataFrames — callers attach the sink
+(``writeStream``) and trigger; tests use ``trigger(availableNow=True)`` with
+a file source.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from levenshtein_spark.functions.distance import bounded_edit_dist_t
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    content_col: str = "content",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep the first arrival of each distinct content hash.
+
+    State is bounded by the watermark horizon: duplicates arriving later
+    than ``watermark`` past the original may re-emit (the documented
+    trade-off of bounded-state streaming dedup; exact global dedup remains a
+    batch job over the checkpointed table).
+    """
+    return (
+        stream.withColumn("sha", F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["sha"])
+    )
+
+
+def stream_fuzzy_link(
+    stream: DataFrame,
+    reference: DataFrame,
+    key_col: str,
+    text_col: str,
+    k: int,
+) -> DataFrame:
+    """Link arriving records against a static reference table.
+
+    Blocks on ``key_col`` equality (stream-static equi-join; the static side
+    is broadcast when small), scores ``text_col`` pairs with the bounded OSA
+    kernel, and emits matches with ``dist <= k``. Output columns:
+    stream columns + ``ref_<text_col>``, ``dist``.
+    """
+    ref = reference.select(
+        F.col(key_col).alias("__ref_key"),
+        F.col(text_col).alias(f"ref_{text_col}"),
+    )
+    joined = stream.join(ref, F.col(key_col) == F.col("__ref_key")).drop("__ref_key")
+    scored = joined.withColumn(
+        "dist", bounded_edit_dist_t(text_col, f"ref_{text_col}", k)
+    )
+    return scored.where(
+        (F.col("dist") <= k) & (F.col(text_col) != F.col(f"ref_{text_col}"))
+    )

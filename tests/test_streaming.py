@@ -1,0 +1,68 @@
+"""Structured Streaming operators: exact dedup + stream-static fuzzy link."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from levenshtein_spark.streaming import stream_exact_dedup, stream_fuzzy_link
+
+
+@pytest.fixture
+def stream_dir(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:00:00", "n1", "hello world"),
+        (2, "2024-01-01 00:00:10", "n1", "hello world"),   # exact dupe of 1
+        (3, "2024-01-01 00:00:20", "n1", "hello wxrld"),   # near-dupe
+        (4, "2024-01-01 00:00:30", "n2", "completely different"),
+        (5, "2024-01-01 00:00:40", "n2", "hello world"),   # same text, other block
+    ]
+    df = spark.createDataFrame(rows, "id long, ts_s string, block string, content string")
+    df = df.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    return src
+
+
+def _run_to_memory(sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_exact_dedup(spark, stream_dir):
+    stream = spark.readStream.schema(
+        "id long, block string, content string, ts timestamp"
+    ).parquet(stream_dir)
+    out = stream_exact_dedup(stream, "content", "ts")
+    _run_to_memory(out, "dedup_out")
+    rows = spark.sql("select * from dedup_out").collect()
+    # three distinct contents -> three survivors
+    assert len(rows) == 3
+    assert {r.sha is not None for r in rows} == {True}
+
+
+def test_stream_fuzzy_link(spark, stream_dir):
+    reference = spark.createDataFrame(
+        [("n1", "hello world"), ("n2", "hxllo world")],
+        "block string, content string",
+    ).withColumnRenamed("content", "text_ref")
+    # reference uses the same column name as the stream's text col
+    reference = reference.select("block", F.col("text_ref").alias("content"))
+
+    stream = spark.readStream.schema(
+        "id long, block string, content string, ts timestamp"
+    ).parquet(stream_dir)
+    out = stream_fuzzy_link(stream, reference, key_col="block", text_col="content", k=2)
+    _run_to_memory(out, "link_out")
+    got = {(r.id, r.ref_content, r.dist) for r in spark.sql("select * from link_out").collect()}
+    # id 3 'hello wxrld' matches n1 reference 'hello world' at distance 1;
+    # id 5 'hello world' matches n2 reference 'hxllo world' at distance 1;
+    # exact-equal pairs are filtered (they are the sha short-circuit's job)
+    assert got == {(3, "hello world", 1), (5, "hxllo world", 1)}
