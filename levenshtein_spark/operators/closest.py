@@ -73,6 +73,35 @@ def min_similarity_t(
     )
 
 
+def min_edit_dist_t_deepening(
+    probes: DataFrame,
+    candidates: DataFrame,
+    probe_col: str,
+    cand_col: str,
+    k: int,
+    k0: int = 2,
+    dist_fn=bounded_edit_dist_t,
+) -> DataFrame:
+    """Two-pass iterative deepening — the parallel re-expression of the
+    reference's remember-the-closest adaptive cap (min_edit_dist_t.cpp:
+    141-144,310; ≈2/3 runtime, doc/Benchmarks.md:25).
+
+    Pass 1 scores every probe at a small cap ``k0`` (narrow band = cheap
+    DP). Probes whose minimum came back ``<= k0`` are already exact — the
+    bounded kernel returns true distances up to its cap, and a value
+    ``<= k0 <= k`` cannot be beaten by any pair the narrow band rejected.
+    Only probes whose pass-1 minimum hit the ``k0+1`` ceiling are rescored
+    at the full cap ``k``. When most probes have a close match (the
+    reference's own benchmark regime), the wide-band DP runs for almost no
+    probe.
+    """
+    first = min_edit_dist_t(probes, candidates, probe_col, cand_col, k0, dist_fn)
+    resolved = first.where(F.col("dist") <= k0)
+    unresolved = first.where(F.col("dist") > k0).select(probe_col)
+    second = min_edit_dist_t(unresolved, candidates, probe_col, cand_col, k, dist_fn)
+    return resolved.unionByName(second)
+
+
 def top_k_matches(
     probes: DataFrame,
     candidates: DataFrame,
