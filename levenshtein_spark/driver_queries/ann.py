@@ -73,10 +73,31 @@ def q_ann_bucket_topk(spark: SparkSession, sf: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
 
 
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: cosine >= 0.25 within LSH
+    buckets (the dedup family's vector-space member — candidate generation
+    via buckets, verification via exact cosine)."""
+    e = tbl(spark, sf, "embeddings").select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding"), _PLANES, seed=0).alias("bucket")
+    )
+    l, r = e.alias("l"), e.alias("r")
+    return (
+        l.join(r, "bucket")
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("l.embedding"), F.col("r.embedding")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.25)
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_bucket_topk": q_ann_bucket_topk,
+    "dedup_embedding": q_dedup_embedding,
 }
 
 # -- DuckDB twins -------------------------------------------------------------
@@ -132,6 +153,15 @@ FROM ranked WHERE rank <= {_TOP_K}
 """,
     "ann_lsh_buckets": f"""
 SELECT vec_id, {_dd_lsh_bucket('embedding')} AS bucket FROM embeddings
+""",
+    "dedup_embedding": f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_dd_lsh_bucket('embedding')} AS bucket FROM embeddings
+)
+SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       round({_dd_cosine('l.embedding', 'r.embedding')}, 6) AS cos_sim
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round({_dd_cosine('l.embedding', 'r.embedding')}, 6) >= 0.25
 """,
     "ann_bucket_topk": f"""
 WITH b AS (
