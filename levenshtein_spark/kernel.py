@@ -59,6 +59,10 @@ _INF16 = np.int16(1 << 14)
 # Cap on cells per chunk: bounds peak memory at ~3 band matrices x 4 bytes.
 _CHUNK_CELL_BUDGET = 1 << 22
 
+# Wide-cap runs start at this band and escalate 4x per round (iterative
+# doubling); caps at or below run in a single pass.
+_DOUBLING_START = 16
+
 
 def _to_bytes(v: Union[str, bytes, None]) -> Optional[bytes]:
     if v is None:
@@ -227,42 +231,84 @@ def batch_edit_distance(
         t_nlen = t_nlen[alive]
         t_mlen = t_mlen[alive]
 
-    # Process in chunks ordered by query length so band width and padding are
-    # sized per chunk, not by the global worst case.
-    order = np.argsort(t_mlen, kind="stable")
     # Effective band half-width per pair: the cap can't usefully exceed the
     # (trimmed) longer length.
     eff_k = np.minimum(keff[todo], t_mlen)
+
+    # Iterative doubling for wide caps (the unbounded `edit_dist`/`edit_dist_t`
+    # path): a banded run at cap c costs O(c·n) and returns exact distances
+    # <= c, so start narrow and escalate only unresolved pairs — total work
+    # is geometric in the TRUE distance, not the string length. Pairs whose
+    # cap is already narrow run once, unchanged.
+    pending = np.arange(todo.size)
+    c = _DOUBLING_START
+    while pending.size:
+        caps = np.minimum(eff_k[pending], c)
+        # length-difference pre-exit per round: |m'-n'| > cap proves the
+        # round's cap is exceeded without a DP (at the final cap this can't
+        # happen — the global ldiff exit already ran against k_eff)
+        dist = np.empty(pending.size, np.int64)
+        runnable = (t_mlen - t_nlen)[pending] <= caps
+        dist[~runnable] = caps[~runnable] + 1
+        if runnable.any():
+            rsel = np.flatnonzero(runnable)
+            dist[rsel] = _run_banded_chunks(
+                subj, quer, t_nlen, t_mlen, pending[rsel], caps[rsel], transpositions
+            )
+        final_cap = caps >= eff_k[pending]
+        resolved = (dist <= caps) | final_cap
+        done = pending[resolved]
+        gi = todo[done]
+        res[gi] = np.minimum(keff[gi] + 1, dist[resolved])
+        pending = pending[~resolved]
+        c *= 4
+
+    return res
+
+
+def _run_banded_chunks(
+    subj: list,
+    quer: list,
+    t_nlen: np.ndarray,
+    t_mlen: np.ndarray,
+    sel_idx: np.ndarray,
+    caps: np.ndarray,
+    transpositions: bool,
+) -> np.ndarray:
+    """Run the banded DP over ``sel_idx`` positions with per-pair ``caps``,
+    chunked by query length so band width and padding are sized per chunk,
+    not by the global worst case. Returns raw distances aligned to sel_idx
+    (values > cap mean "exceeds this cap")."""
+    out = np.empty(sel_idx.size, np.int64)
+    order = np.argsort(t_mlen[sel_idx], kind="stable")
     pos = 0
     while pos < order.size:
         # Grow chunk until the (rows x band-width) cell budget is hit.
-        # Memory per chunk is ~3 band matrices of (rows x W) int32; the DP
+        # Memory per chunk is ~3 band matrices of (rows x W) cells; the DP
         # loop length is the chunk's max subject length, so sorting by query
         # length keeps chunks length-homogeneous and the lockstep efficient.
-        k0 = int(eff_k[order[pos]])
+        k0 = int(caps[order[pos]])
         end = pos
         while end < order.size:
             i = order[end]
-            w = 2 * max(k0, int(eff_k[i])) + 1
+            w = 2 * max(k0, int(caps[i])) + 1
             rows = end - pos + 1
             if rows > 1 and rows * w > _CHUNK_CELL_BUDGET:
                 break
-            k0 = max(k0, int(eff_k[i]))
+            k0 = max(k0, int(caps[i]))
             end += 1
-        sel = order[pos:end]
+        part = order[pos:end]
         pos = end
-        idx = todo[sel]
-        dist = _dp_band_chunk(
+        sel = sel_idx[part]
+        out[part] = _dp_band_chunk(
             [subj[s] for s in sel],
             [quer[s] for s in sel],
             t_nlen[sel],
             t_mlen[sel],
-            keff[idx],
+            caps[part],
             transpositions,
         )
-        res[idx] = np.minimum(keff[idx] + 1, dist)
-
-    return res
+    return out
 
 
 def _dp_band_chunk(

@@ -45,3 +45,29 @@ def test_subject_prefix_of_query():
     assert batch_edit_distance(["abc"], ["abcdefgh"], k=3)[0] == 4
     assert batch_edit_distance(["abc"], ["abcde"], k=3)[0] == 2
     assert batch_edit_distance(["abc"], ["abc"], k=0)[0] == 0
+
+
+def test_iterative_doubling_unbounded_long_strings():
+    # unbounded distances on strings long enough to force cap escalation
+    # (16 -> 64 -> ...) must equal the full-matrix oracle
+    rng = np.random.default_rng(11)
+    letters = np.array(list("abcde"))
+    pairs = []
+    for i in range(60):
+        a = "".join(rng.choice(letters, int(rng.integers(30, 120))))
+        b = "".join(rng.choice(letters, int(rng.integers(30, 120))))
+        pairs.append((a, b))
+    # plus heavy-edit mutations (true distance ~20-50, crosses 16)
+    for i in range(40):
+        a = "".join(rng.choice(letters, 100))
+        bl = list(a)
+        for _ in range(int(rng.integers(17, 50))):
+            p = int(rng.integers(0, len(bl)))
+            bl[p] = letters[int(rng.integers(0, 5))]
+        pairs.append((a, "".join(bl)))
+    A = [p[0] for p in pairs]
+    B = [p[1] for p in pairs]
+    for trans in (True, False):
+        got = batch_edit_distance(A, B, k=None, transpositions=trans)
+        exp = [ref_edit_distance(a, b, k=None, transpositions=trans) for a, b in pairs]
+        assert got.tolist() == exp
