@@ -65,6 +65,22 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    def clock_min(name: str, fn, runs: int = 2) -> None:
+        """Best-of-N for floor measurements: this host swings up to 4x
+        between identical runs (thermal/contention + occasional Python
+        worker refork, see BENCH/BASELINE.md controls), which is exactly
+        the r01 arrow_noop anomaly. The floor is the defensible number;
+        every individual run is recorded in detail."""
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(round(time.perf_counter() - t0, 3))
+        times[name] = min(samples)
+        detail[f"{name}_runs"] = float(len(samples))
+        for i, s in enumerate(samples):
+            detail[f"{name}_run{i}"] = s
+
     # q1: full ER pipeline on customers
     n_clusters = clock("link_pipeline", lambda: flagship_clusters(spark, sf_dir).count())
     detail["clusters"] = float(n_clusters)
@@ -76,21 +92,31 @@ def main() -> None:
     slim_pairs = candidate_pairs(
         exploded_blocks(norm, len_band=_LEN_BAND).persist(), hot_threshold=50, num_salts=8
     )
+    from pyspark import StorageLevel
+
+    # MEMORY_AND_DISK_DESER with an explicit count(): the projection is two
+    # 64-char columns (~50 MB at sf0.1), so materialization cannot be evicted
+    # mid-bench; the count IS the honest pair-generation time.
     pairs = attach_pair_payload(slim_pairs, norm, ["content_prefix"]).select(
         "content_prefix_a", "content_prefix_b"
-    ).persist()
+    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     n_pairs = clock("doc_block_pairs", pairs.count)
     detail["candidate_pairs"] = float(n_pairs)
 
-    # q2b: Arrow round-trip floor (reference noop, src/noop.cpp:1-8)
+    # q2b: Arrow round-trip floor (reference noop, src/noop.cpp:1-8).
+    # Guard against the r01 anomaly (arrow_noop == doc_block_pairs: the noop
+    # floor silently re-ran pair generation): assert the executed plan reads
+    # the in-memory cache, and record the check in detail.
     from levenshtein_spark.functions.distance import noop
 
-    clock(
-        "arrow_noop",
-        lambda: pairs.select(noop("content_prefix_a", "content_prefix_b").alias("d"))
-        .agg(F.sum("d"))
-        .collect(),
+    noop_q = pairs.select(noop("content_prefix_a", "content_prefix_b").alias("d")).agg(
+        F.sum("d")
     )
+    plan = noop_q._jdf.queryExecution().executedPlan().toString()
+    if "InMemoryTableScan" not in plan:
+        raise RuntimeError("arrow_noop plan does not read the pairs cache — bench invalid")
+    detail["noop_reads_cache"] = 1.0
+    clock_min("arrow_noop", noop_q.collect)
 
     # q3: vectorized banded-OSA kernel over content prefixes
     def score() -> int:
@@ -102,8 +128,32 @@ def main() -> None:
             .collect()[0][0]
         )
 
-    clock("osa_scoring", score)
+    clock_min("osa_scoring", score)
     detail["scored_pairs_per_sec"] = round(n_pairs / max(times["osa_scoring"], 1e-9), 1)
+
+    # Kernel instrumentation (reference CAPTURE_METRICS analogue,
+    # tests/metrics.hpp:8-17): run the kernel driver-side over a sample of
+    # the same pairs with counters on, so claims like "the counting bound
+    # kills most DPs" are measured numbers, not folklore. Also yields the
+    # single-core kernel throughput that BENCH/native_baseline.json compares
+    # against DuckDB's C++ kernels.
+    from levenshtein_spark import kernel as _kernel
+
+    sample = pairs.limit(100_000).collect()
+    ka = [r.content_prefix_a for r in sample]
+    kb = [r.content_prefix_b for r in sample]
+    k_secs = float("inf")
+    for _ in range(2):  # best-of-2: host clock drifts (BENCH/BASELINE.md)
+        _kernel.enable_stats(True)
+        t0 = time.perf_counter()
+        _kernel.batch_edit_distance(ka, kb, k=8)
+        k_secs = min(k_secs, time.perf_counter() - t0)
+        kstats = _kernel.stats_snapshot()
+        _kernel.enable_stats(False)
+    detail["kernel_1core_pairs_per_sec"] = round(len(ka) / max(k_secs, 1e-9), 1)
+    for key in ("pairs", "exit_identical", "exit_ldiff", "hist_pairs", "hist_kills",
+                "dp_pairs", "dp_cells", "trim_collapsed", "doubling_rounds"):
+        detail[f"kernel_{key}"] = float(kstats[key])
     pairs.unpersist()
 
     # q4: closest-match window arg-min

@@ -21,12 +21,13 @@ def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict
         linkage,
         multimodal,
         relational,
+        streaming,
         text,
     )
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (catalog, linkage, dedup, text, ann, relational, multimodal):
+    for mod in (catalog, linkage, dedup, text, ann, relational, multimodal, streaming):
         overlap = queries.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -21,11 +21,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from levenshtein_spark.driver_queries import tbl
-from levenshtein_spark.functions.vectors import cosine, lsh_bucket
+from levenshtein_spark.functions.vectors import banded_lsh_keys, cosine, lsh_bucket
 
 _N_PROBES = 10
 _TOP_K = 5
 _PLANES = 8
+# banded-LSH shape for the driver-checked query: banded_params(n) at the
+# correctness scale (sf0.01, ~500 vectors, target bucket 8) = (4, 6). Frozen
+# here because the static DuckDB oracle must mirror the plane count; library
+# callers size it from their N via functions.vectors.banded_params.
+_B_TABLES = 4
+_B_PLANES = 6
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -73,6 +79,45 @@ def q_ann_bucket_topk(spark: SparkSession, sf: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
 
 
+def q_ann_banded_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path v2: exact cosine top-1 among banded multi-table LSH
+    candidates.
+
+    Fixes the single-table 256-bucket ceiling (within-bucket work O(N²/256)
+    regardless of N): ``banded_params`` sizes planes-per-table from N so
+    buckets stay ~constant-size, and multiple tables recover the recall a
+    longer single code loses. Candidate generation reuses the linkage
+    pipeline's slim, hot-block-salted ``candidate_pairs`` (keys shuffle with
+    vec_ids only — embeddings are re-attached per side afterwards), then
+    mirrors the undirected pairs so every vector acts as a query.
+    """
+    from levenshtein_spark.operators.pairs import candidate_pairs
+
+    e = tbl(spark, sf, "embeddings")
+    blocks = e.select(
+        F.explode(banded_lsh_keys("embedding", _B_TABLES, _B_PLANES, seed=0)).alias("block_key"),
+        F.col("vec_id").alias("id"),
+    )
+    und = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    cand = und.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
+    ).unionByName(
+        und.select(F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id"))
+    )
+    emb = e.select("vec_id", "embedding")
+    scored = (
+        cand.join(emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")), "query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+
+
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: cosine >= 0.25 within LSH
     buckets (the dedup family's vector-space member — candidate generation
@@ -97,6 +142,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_bucket_topk": q_ann_bucket_topk,
+    "ann_banded_topk": q_ann_banded_topk,
     "dedup_embedding": q_dedup_embedding,
 }
 
@@ -119,18 +165,36 @@ def _dd_cosine(a: str, b: str) -> str:
     )
 
 
-def _dd_lsh_bucket(v: str) -> str:
-    """Mirror of functions.vectors.lsh_bucket: per-plane projection =
-    sum_i v[i] * (md5-hash(seed,p,i-1)/16^8 - 0.5); bucket bit = sign."""
+def _dd_bucket(v: str, planes: list[int]) -> str:
+    """Mirror of functions.vectors packed sign bits over the given global
+    plane indices: per-plane projection =
+    sum_i v[i] * (md5-hash(seed,plane,i-1)/16^8 - 0.5); bit = sign."""
     terms = []
-    for p in range(_PLANES):
+    for bit, p in enumerate(planes):
         w = (
             f"(('0x' || substr(md5(concat_ws('_', '0', '{p}', "
             f"CAST(i - 1 AS VARCHAR))), 1, 8))::BIGINT / {float(16**8)} - 0.5)"
         )
         proj = f"list_sum(list_transform(range(1, len({v}) + 1), i -> CAST({v}[i] AS DOUBLE) * {w}))"
-        terms.append(f"(CASE WHEN {proj} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)")
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN CAST({1 << bit} AS BIGINT) ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _dd_lsh_bucket(v: str) -> str:
+    return _dd_bucket(v, list(range(_PLANES)))
+
+
+def _dd_banded_keys_sql() -> str:
+    """UNION ALL of (vec_id, block_key) per banded-LSH table — mirror of
+    banded_lsh_keys(embedding, {_B_TABLES}, {_B_PLANES}, seed=0)."""
+    selects = []
+    for t in range(_B_TABLES):
+        planes = [t * _B_PLANES + p for p in range(_B_PLANES)]
+        bucket = _dd_bucket("embedding", planes)
+        selects.append(
+            f"SELECT vec_id, 't{t}' || '|' || CAST({bucket} AS VARCHAR) AS block_key FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(selects)
 
 
 ORACLES = {
@@ -171,6 +235,25 @@ scored AS (
   SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
          round({_dd_cosine('l.embedding', 'r.embedding')}, 6) AS cos_sim
   FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn = 1
+""",
+    "ann_banded_topk": f"""
+WITH keyed AS ({_dd_banded_keys_sql()}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
+  FROM keyed l JOIN keyed r ON l.block_key = r.block_key AND l.vec_id <> r.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({_dd_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn

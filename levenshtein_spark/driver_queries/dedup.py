@@ -23,8 +23,10 @@ from levenshtein_spark.functions.hashing import (
     minhash_band_keys,
     minhash_signature,
     simhash64,
+    simhash_segment_keys,
 )
 from levenshtein_spark.functions.text import char_shingles, word_bigrams
+from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
 
 _NUM_HASHES = 8
 _BANDS = 4
@@ -91,51 +93,64 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= {ham} within length bands.
+    """All pairs with SimHash Hamming distance <= {ham}, found via lossless
+    Hamming-segment pigeonhole blocking.
 
-    Banding on floor(n_chars/{band}) bounds the self-join fan-out the same way
-    the linkage pipeline's length grids do.
+    The 60-bit fingerprint splits into 9 segments: a pair within Hamming 8
+    cannot touch all 9, so it agrees exactly on >= 1 segment — blocking on
+    (segment_idx, segment_value) keys is lossless for the Hamming ball (no
+    all-pairs step anywhere; see functions.hashing.simhash_segment_keys for
+    the (segments, choose) scale ladder). Candidates flow through the same
+    slim, hot-block-salted ``candidate_pairs`` operator as the linkage
+    pipeline; fingerprints are re-attached per id afterwards.
     """
     d = tbl(spark, sf, "documents")
     from levenshtein_spark.functions.text import word_tokens
 
+    # persisted: consumed by the blocks self-join (census + both sides) and
+    # again as the per-id fingerprint payload; simhash is costly to recompute
     sh = d.select(
-        "doc_id",
-        F.floor(F.col("n_chars") / _NGRAM_BAND).alias("band"),
-        simhash64(word_tokens(F.col("text"))).alias("simhash"),
+        F.col("doc_id").alias("id"), simhash64(word_tokens(F.col("text"))).alias("simhash")
+    ).persist()
+    blocks = sh.select(
+        F.explode(simhash_segment_keys("simhash", 60, _HAM_MAX + 1, 1)).alias("block_key"),
+        "id",
     )
-    l, r = sh.alias("l"), sh.alias("r")
-    return (
-        l.join(r, "band")
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            hamming64(F.col("l.simhash"), F.col("r.simhash")).cast("long").alias("hamming"),
-        )
-        .where(F.col("hamming") <= _HAM_MAX)
-    )
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    fat = attach_pair_payload(pairs, sh, ["simhash"])
+    return fat.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        hamming64(F.col("simhash_a"), F.col("simhash_b")).cast("long").alias("hamming"),
+    ).where(F.col("hamming") <= _HAM_MAX)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Character-3-gram Jaccard >= 0.5 within (lang, length-band) blocks."""
+    """Character-3-gram Jaccard >= 0.5 within (lang, length-band) blocks.
+
+    Slim-pair discipline (operators/pairs.py): the self-join shuffles only
+    (block_key, id) — never the gram arrays — and hot (lang, band) blocks
+    route through the lossless triangle-salted join. The 3-gram sets are
+    attached per id *after* pair dedup, so each id's array crosses the wire
+    once per pair side instead of riding every block-join shuffle.
+    """
     d = tbl(spark, sf, "documents")
-    g = d.select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / _NGRAM_BAND).alias("band"),
-        char_shingles(F.col("text"), 3).alias("g"),
+    blocks = d.select(
+        F.concat_ws(
+            "|", F.lit("ng"), F.col("lang"), F.floor(F.col("n_chars") / _NGRAM_BAND).cast("string")
+        ).alias("block_key"),
+        F.col("doc_id").alias("id"),
     )
-    l, r = g.alias("l"), g.alias("r")
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    grams = d.select(F.col("doc_id").alias("id"), char_shingles(F.col("text"), 3).alias("g"))
+    fat = attach_pair_payload(pairs, grams, ["g"])
     return (
-        l.join(r, ["lang", "band"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
+        fat.select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
             F.round(
-                F.size(F.array_intersect("l.g", "r.g")).cast("double")
-                / F.size(F.array_union("l.g", "r.g")),
+                F.size(F.array_intersect("g_a", "g_b")).cast("double")
+                / F.size(F.array_union("g_a", "g_b")),
                 6,
             ).alias("jaccard"),
         )
@@ -226,14 +241,13 @@ JOIN grams a ON a.doc_id = p.doc_a
 JOIN grams b ON b.doc_id = p.doc_b
 """,
     "dedup_simhash": _dd_simhash_sql(),
+    # Oracle is the brute-force Hamming ball: the segment pigeonhole is
+    # lossless for hamming <= {_HAM_MAX}, so blocked result == all-pairs result.
     "dedup_simhash_pairs": f"""
-WITH sh AS (
-  SELECT d.doc_id, CAST(floor(d.n_chars / {_NGRAM_BAND}) AS BIGINT) AS band, s.simhash
-  FROM documents d JOIN ({_dd_simhash_sql()}) s USING (doc_id)
-)
+WITH sh AS ({_dd_simhash_sql()})
 SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
        CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
-FROM sh l JOIN sh r ON l.band = r.band AND l.doc_id < r.doc_id
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= {_HAM_MAX}
 """,
     "dedup_ngram_jaccard": f"""

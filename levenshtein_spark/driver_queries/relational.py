@@ -25,18 +25,29 @@ from levenshtein_spark.functions.distance import bounded_edit_dist_builtin
 
 
 def q_similar_names_by_nation(spark: SparkSession, sf: str) -> DataFrame:
-    """Count of customer pairs with name distance <= 1 per nation."""
+    """Count of customer pairs with name distance <= 1 per nation.
+
+    The candidate universe is the pigeonhole segment blocking shared with the
+    customer linkage track (driver_queries.linkage._customer_blocks): names
+    are fixed-length, so a dist<=1 pair is a single substitution that touches
+    at most one of the three 3-digit segments — agreeing exactly on >= 2 of 3
+    segments. Lossless for the dist<=1 rule, and the per-nation self-join
+    fan-out drops from O((N/25)^2) to the segment-block sizes (salted via
+    ``candidate_pairs``) — no per-nation cross product anywhere in the plan.
+    """
+    from levenshtein_spark.driver_queries.linkage import _customer_blocks
+    from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
+
     c = tbl(spark, sf, "customer")
     n = tbl(spark, sf, "nation")
-    l = c.select("c_nationkey", F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
-    r = c.select("c_nationkey", F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
-    pairs = (
-        l.join(r, "c_nationkey")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(bounded_edit_dist_builtin("name_a", "name_b", 1) <= 1)
+    pairs = candidate_pairs(_customer_blocks(spark, sf), hot_threshold=500, num_salts=8)
+    rec = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"), "c_nationkey"
     )
+    fat = attach_pair_payload(pairs.drop("n_keys"), rec, ["name", "c_nationkey"])
+    matched = fat.where(bounded_edit_dist_builtin("name_a", "name_b", 1) <= 1)
     return (
-        pairs.groupBy("c_nationkey")
+        matched.groupBy(F.col("c_nationkey_a").alias("c_nationkey"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("n_name", "pair_count")
@@ -108,14 +119,18 @@ QUERIES = {
     "daily_event_stats": q_daily_event_stats,
 }
 
+from levenshtein_spark.driver_queries.linkage import _CUST_PAIRS
+
 ORACLES = {
-    "similar_names_by_nation": """
+    # candidate universe = the segment pigeonhole blocking (>= 2 of 3 digit
+    # segments equal), shared with the linkage_* oracles; lossless for dist<=1
+    "similar_names_by_nation": f"""
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS pair_count
-FROM customer a
-JOIN customer b ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+FROM ({_CUST_PAIRS}) p
+JOIN customer a ON a.c_custkey = p.id_a
 JOIN nation n ON n.n_nationkey = a.c_nationkey
-WHERE least(levenshtein(a.c_name, b.c_name),
-            least(1, greatest(length(a.c_name), length(b.c_name))) + 1) <= 1
+WHERE least(levenshtein(p.name_a, p.name_b),
+            least(1, greatest(length(p.name_a), length(p.name_b))) + 1) <= 1
 GROUP BY n.n_name
 """,
     "events_sessionize": """

@@ -96,6 +96,49 @@ def hamming64(a, b) -> Column:
     return F.bit_count(_c(a).bitwiseXOR(_c(b)))
 
 
+def simhash_segment_keys(
+    fingerprint, n_bits: int = 60, segments: int = 9, choose: int = 1
+) -> Column:
+    """Pigeonhole block keys (array<string>) for Hamming-ball search over a
+    SimHash fingerprint column.
+
+    Split the ``n_bits`` fingerprint into ``segments`` contiguous segments;
+    each key is the concatenated value of ``choose`` of them. If two
+    fingerprints differ in at most ``segments - choose`` bits, those bits
+    touch at most ``segments - choose`` segments, so some ``choose``-subset
+    of segments is identical on both sides — the pair shares at least one
+    key. Blocking on these keys is therefore **lossless** for
+    ``hamming <= segments - choose`` (the set-level analogue of the
+    reference's length-difference pre-exit, src/prealgorithm.h:77-86,
+    generalized from positions to bit segments).
+
+    Scale knob: ``choose=1`` gives ``segments`` tables of ~``n_bits/segments``
+    -bit keys (bucket size ~N/2^7 at the defaults — fine to ~10^6 rows);
+    larger corpora raise ``choose`` (Manku et al., WWW'07): ``(10, 2)`` →
+    45 tables of ~12-bit keys, ``(11, 3)`` → 165 tables of ~16-bit keys,
+    still lossless for hamming <= 8. Residual hot buckets (mass-duplicated
+    fingerprints) are handled downstream by ``candidate_pairs`` salting.
+    """
+    if choose < 1 or choose > segments:
+        raise ValueError("choose must be in [1, segments]")
+    from itertools import combinations
+
+    fp = _c(fingerprint)
+    base, extra = divmod(n_bits, segments)
+    widths = [base + (1 if i < extra else 0) for i in range(segments)]
+    offs = [sum(widths[:i]) for i in range(segments)]
+    seg_vals = [
+        F.shiftright(fp, offs[i]).bitwiseAND(F.lit((1 << widths[i]) - 1)).cast("string")
+        for i in range(segments)
+    ]
+    keys = []
+    for combo in combinations(range(segments), choose):
+        idx = ".".join(str(i) for i in combo)
+        vals = [seg_vals[i] for i in combo]
+        keys.append(F.concat_ws("|", F.lit(f"shseg{idx}"), *vals))
+    return F.array(*keys)
+
+
 def salted_key(key, salt_from, num_salts: int) -> Column:
     """Explicit skew-breaking: append a deterministic salt bucket to a hot key.
 

@@ -36,6 +36,36 @@ def cosine(a, b) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(d / (na * nb))
 
 
+def _plane_projection(v: Column, seed: int, plane: int) -> Column:
+    """Dot product of ``v`` with deterministic pseudo-random hyperplane
+    ``plane``: component for dim i = md5-hash(seed, plane, i) scaled to
+    [-0.5, 0.5). Portable — a DuckDB oracle reproduces it bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(
+            v,
+            F.transform(
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda i: (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("_", F.lit(seed), F.lit(plane), i.cast("string"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("double")
+                    / F.lit(float(16**8))
+                    - 0.5
+                ),
+            ),
+            lambda x, w: x.cast("double") * w,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def lsh_bucket(a, num_planes: int = 8, seed: int = 0) -> Column:
     """Random-hyperplane LSH bucket id (sign bits of ``num_planes`` projections).
 
@@ -47,30 +77,42 @@ def lsh_bucket(a, num_planes: int = 8, seed: int = 0) -> Column:
     v = _c(a)
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        # plane component for dim i: hash(seed,p,i) scaled to [-0.5, 0.5)
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(v) - 1),
-                    lambda i: (
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat_ws("_", F.lit(seed), F.lit(p), i.cast("string"))),
-                                1,
-                                8,
-                            ),
-                            16,
-                            10,
-                        ).cast("double")
-                        / F.lit(float(16**8))
-                        - 0.5
-                    ),
-                ),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        proj = _plane_projection(v, seed, p)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
     return bucket
+
+
+def banded_params(n_vectors: int, target_bucket: int = 16, n_tables: int = 4) -> tuple[int, int]:
+    """Scale-parameterized banded-LSH shape: (n_tables, planes_per_table).
+
+    Planes per table r = ceil(log2(N / target_bucket)) clamped to [2, 24], so
+    the expected bucket size stays ~``target_bucket`` as N grows — at 10^9
+    vectors r = 26→24 gives ~60-row buckets, where the fixed-256-bucket
+    single-table scheme would put ~4M rows in each. More tables raise recall
+    (P[candidate] = 1-(1-p^r)^b for per-plane agreement p); more planes cut
+    cost. Both knobs are free of the data (portable hash planes).
+    """
+    import math
+
+    r = math.ceil(math.log2(max(n_vectors, 2) / max(target_bucket, 1)))
+    return n_tables, min(max(r, 2), 24)
+
+
+def banded_lsh_keys(a, n_tables: int = 4, n_planes: int = 6, seed: int = 0) -> Column:
+    """Banded multi-table hyperplane LSH keys (array<string>, one per table).
+
+    Table t uses planes [t*n_planes, (t+1)*n_planes) of the same portable
+    hash family as ``lsh_bucket``; key = ``"t<t>|<packed sign bits>"``. Two
+    vectors are ANN candidates iff they share >= 1 table key — the standard
+    banding construction (same shape as MinHash LSH bands), sized by
+    ``banded_params`` so within-bucket work is bounded at any N.
+    """
+    v = _c(a)
+    keys = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            proj = _plane_projection(v, seed, t * n_planes + p)
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        keys.append(F.concat_ws("|", F.lit(f"t{t}"), bucket.cast("string")))
+    return F.array(*keys)

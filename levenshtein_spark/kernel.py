@@ -63,6 +63,55 @@ _CHUNK_CELL_BUDGET = 1 << 22
 # doubling); caps at or below run in a single pass.
 _DOUBLING_START = 16
 
+# Cell budget for the counting-bound histogram pass: 2 uint8 matrices of
+# (rows x max_query_len) per block, so peak temporary memory is bounded in
+# string LENGTH as well as row count, unlike a fixed row chunk. 2^20 cells
+# keeps the per-block bincount histograms (rows x 64 int64) L2-resident —
+# measured 123k pairs/s at 2^20 vs 45-75k at 2^22..2^24 on 64-char pairs.
+_HIST_CELL_BUDGET = 1 << 20
+
+# ---------------------------------------------------------------------------
+# Optional instrumentation (analogue of the reference's CAPTURE_METRICS
+# counters, tests/metrics.hpp:8-17): cells computed, early exits by kind,
+# counting-bound kills, trim collapses, doubling rounds. Off by default —
+# the counters cost a few scalar ops per *batch* (plus one O(rows) sum per
+# DP row for dp_cells), and are enabled only by benchmarks/tests that want
+# to MEASURE claims like "the counting bound kills most DPs".
+# ---------------------------------------------------------------------------
+_STATS_ON = False
+STATS: dict = {}
+
+
+def _stats_zero() -> dict:
+    return {
+        "pairs": 0,  # pairs entering the kernel
+        "exit_null": 0,  # NULL argument pre-exit
+        "exit_empty": 0,  # empty-shorter-string pre-exit
+        "exit_ldiff": 0,  # length-difference pre-exit
+        "exit_identical": 0,  # equal-bytes short-circuit
+        "trim_collapsed": 0,  # prefix/suffix trim left an empty subject
+        "hist_pairs": 0,  # pairs screened by the counting bound
+        "hist_kills": 0,  # pairs the counting bound proved > k_eff
+        "dp_pairs": 0,  # pairs that ran >= 1 banded-DP pass
+        "dp_cells": 0,  # band cells advanced (active_rows x band_width per DP row)
+        "doubling_rounds": 0,  # iterative-doubling escalations past round 1
+    }
+
+
+STATS.update(_stats_zero())
+
+
+def enable_stats(on: bool = True) -> None:
+    """Toggle kernel counters (resets them); see ``stats_snapshot``."""
+    global _STATS_ON
+    _STATS_ON = on
+    STATS.clear()
+    STATS.update(_stats_zero())
+
+
+def stats_snapshot() -> dict:
+    return dict(STATS)
+
 
 def _to_bytes(v: Union[str, bytes, None]) -> Optional[bytes]:
     if v is None:
@@ -134,6 +183,12 @@ def batch_edit_distance(
     same = np.fromiter((a_b[i] == b_b[i] for i in todo), bool, todo.size)
     res[todo[same]] = 0
     todo = todo[~same]
+    if _STATS_ON:
+        STATS["pairs"] += n_pairs
+        STATS["exit_null"] += int(null_mask.sum())
+        STATS["exit_empty"] += int(empty_mask.sum())
+        STATS["exit_ldiff"] += int(ldiff_mask.sum())
+        STATS["exit_identical"] += int(same.sum())
     if todo.size == 0:
         return res
 
@@ -173,6 +228,8 @@ def batch_edit_distance(
 
     # Trimmed-empty subject: distance is the remaining query length.
     done = t_nlen == 0
+    if _STATS_ON:
+        STATS["trim_collapsed"] += int(done.sum())
     if done.any():
         d_idx = np.flatnonzero(done)
         gi = todo[d_idx]
@@ -199,8 +256,25 @@ def batch_edit_distance(
     # distance, so the bound stays valid, and the compact histograms stay
     # cache-resident (256 int64 bins measured ~300x slower on this host).
     cand = np.flatnonzero(t_nlen + t_mlen > 2 * keff[todo])
-    for s0 in range(0, cand.size, 8192):
-        blk = cand[s0 : s0 + 8192]
+    if _STATS_ON:
+        STATS["hist_pairs"] += int(cand.size)
+    # Chunk by CELL budget (rows x max query width), not a fixed row count:
+    # sorting by query length first keeps chunks width-homogeneous, so peak
+    # temporary memory is ~2 x _HIST_CELL_BUDGET bytes regardless of string
+    # length (a fixed 8192-row chunk of ~100 KB strings would allocate GBs).
+    cand = cand[np.argsort(t_mlen[cand], kind="stable")]
+    blocks = []
+    s0 = 0
+    while s0 < cand.size:
+        w0 = max(int(t_mlen[cand[s0]]), 1)
+        rows = min(max(_HIST_CELL_BUDGET // w0, 1), cand.size - s0)
+        # within the slice widths only grow; shrink rows to the budget at
+        # the slice's true (max) width
+        w_max = max(int(t_mlen[cand[s0 + rows - 1]]), 1)
+        rows = min(max(_HIST_CELL_BUDGET // w_max, 1), rows)
+        blocks.append(cand[s0 : s0 + rows])
+        s0 += rows
+    for blk in blocks:
         bn = blk.size
         w = int(t_mlen[blk].max())
         S = np.zeros((bn, w), np.uint8)
@@ -221,6 +295,8 @@ def batch_edit_distance(
         if kb.size:
             gi = todo[kb]
             res[gi] = keff[gi] + 1
+            if _STATS_ON:
+                STATS["hist_kills"] += int(kb.size)
     alive = np.flatnonzero(res[todo] < 0)
     if alive.size == 0:
         return res
@@ -240,9 +316,15 @@ def batch_edit_distance(
     # <= c, so start narrow and escalate only unresolved pairs — total work
     # is geometric in the TRUE distance, not the string length. Pairs whose
     # cap is already narrow run once, unchanged.
+    if _STATS_ON:
+        STATS["dp_pairs"] += int(todo.size)
     pending = np.arange(todo.size)
     c = _DOUBLING_START
+    first_round = True
     while pending.size:
+        if _STATS_ON and not first_round:
+            STATS["doubling_rounds"] += 1
+        first_round = False
         caps = np.minimum(eff_k[pending], c)
         # length-difference pre-exit per round: |m'-n'| > cap proves the
         # round's cap is exceeded without a DP (at the final cap this can't
@@ -406,6 +488,8 @@ def _dp_band_chunk(
         np.subtract(cand, ar, out=cand)
         np.minimum.accumulate(cand, axis=1, out=cand)
         np.add(cand, ar, out=b_cur[:, :W])
+        if _STATS_ON:
+            STATS["dp_cells"] += int(active.sum()) * W
 
         # Freeze finished pairs (i == shorter length): answer at j == m.
         done = active & (n_len == i)

@@ -94,7 +94,14 @@ def min_edit_dist_t_deepening(
     at the full cap ``k``. When most probes have a close match (the
     reference's own benchmark regime), the wide-band DP runs for almost no
     probe.
+
+    ``k0`` is clamped to ``k``: with ``k0 >= k`` a single pass at cap ``k``
+    already yields the exact bounded-k result (and pass-1 winners at a cap
+    wider than ``k`` could otherwise differ from the bounded-k tie-break).
     """
+    k0 = min(k0, k)
+    if k0 == k:
+        return min_edit_dist_t(probes, candidates, probe_col, cand_col, k, dist_fn)
     first = min_edit_dist_t(probes, candidates, probe_col, cand_col, k0, dist_fn)
     resolved = first.where(F.col("dist") <= k0)
     unresolved = first.where(F.col("dist") > k0).select(probe_col)

@@ -64,24 +64,39 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50
+    edges: DataFrame, max_iterations: int = 50, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """edge list (src, dst) → labels (id, cluster_id) for every edge endpoint.
 
     cluster_id is the minimum member id — deterministic across runs and
     partitionings. Nodes not present in any edge are absent (callers union
     singletons back; see ``cluster_labels``).
+
+    Lineage truncation per round: ``localCheckpoint`` by default (fast, but
+    executor-local blocks — one lost executor kills the iteration on a real
+    cluster), or **reliable** parquet round-trips under ``checkpoint_dir``
+    when provided (the production setting: each round's edge set is a
+    re-readable table, so executor loss only recomputes the current round —
+    same discipline as the warehouse stage checkpoints in plans/linkage.py).
     """
     spark = edges.sparkSession
-    e = _canon(edges, "src", "dst").localCheckpoint()
+
+    def materialize(df: DataFrame, rnd: int) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        path = f"{checkpoint_dir}/cc_round_{rnd:03d}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    e = materialize(_canon(edges, "src", "dst"), 0)
     if e.isEmpty():
         return spark.createDataFrame([], "id string, cluster_id string")
 
     sig = _signature(e)
-    for _ in range(max_iterations):
+    for rnd in range(1, max_iterations + 1):
         # one materialization per round: the two phases compose lazily and
         # the checkpoint truncates lineage before the next iteration
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = materialize(_small_star(_large_star(e)), rnd)
         new_sig = _signature(e)
         if new_sig == sig:
             break
@@ -95,10 +110,12 @@ def connected_components(
     return members.unionAll(roots)
 
 
-def cluster_labels(all_ids: DataFrame, edges: DataFrame) -> DataFrame:
+def cluster_labels(
+    all_ids: DataFrame, edges: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Labels for every row id: component root for matched rows, self for
     singletons. ``all_ids`` must have column ``id``."""
-    comp = connected_components(edges)
+    comp = connected_components(edges, checkpoint_dir=checkpoint_dir)
     return (
         all_ids.select("id")
         .join(comp, "id", "left")

@@ -1,16 +1,19 @@
-"""Multimodal (binary) column operators — Arrow-batched, decode stubbed.
+"""Multimodal (binary) column operators — Arrow-batched, codec-gated.
 
 Treats image/audio/video as opaque ``binary`` columns with typed metadata,
 per the training-data-pipeline pattern: the Spark plumbing (schema,
 partitioning, mapInPandas batch shape) is real; the codec call is isolated
-behind ``decode_stub`` because no media libraries ship in this environment.
-Swap ``decode_stub`` for a real decoder (PIL/ffmpeg) on a cluster with the
-libs installed — nothing else changes.
+behind a feature flag — ``decode_image`` uses PIL when importable (a real
+cluster with pillow installed gets real decoding with zero code changes) and
+falls back to the deterministic ``decode_stub`` otherwise (this sandbox
+ships no media libraries). The driver-checked query pins ``codec="stub"``
+explicitly so its DuckDB oracle stays exact either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -18,31 +21,73 @@ from pyspark.sql import DataFrame
 
 META_SCHEMA = "doc_id long, n_bytes long, sha string, width long, height long"
 
+try:  # feature flag: real codec when the library exists
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised via monkeypatch in tests
+    _PILImage = None
+    HAS_PIL = False
+
 
 def decode_stub(payload: bytes) -> dict:
-    """Deterministic fake decode (REPLACE with a real codec in production).
+    """Deterministic fake decode (the no-codec fallback).
 
-    A real implementation would do ``PIL.Image.open(io.BytesIO(payload))``;
-    here we derive plausible dimensions from the byte length so tests and
-    oracles stay deterministic without codec dependencies.
+    Derives plausible dimensions from the byte length so tests and oracles
+    stay deterministic without codec dependencies.
     """
     n = len(payload)
     return {"width": n % 640, "height": (n * 7) % 480}
 
 
+def decode_image(payload: bytes) -> dict:
+    """Real decode via PIL when available; raises if the flag is off.
+
+    Kept separate from the stub (not silently substituted) so callers choose
+    the semantics they can verify.
+    """
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "no image codec in this environment (pip install pillow); "
+            "use codec='stub' for the deterministic fallback"
+        )
+    img = _PILImage.open(io.BytesIO(payload))
+    return {"width": int(img.width), "height": int(img.height)}
+
+
+def _pick_decoder(codec: str):
+    if codec == "stub":
+        return decode_stub
+    if codec == "pil":
+        if not HAS_PIL:
+            raise NotImplementedError("codec='pil' requested but PIL is not importable")
+        return decode_image
+    if codec == "auto":
+        return decode_image if HAS_PIL else decode_stub
+    raise ValueError(f"unknown codec {codec!r} (expected 'auto', 'pil', or 'stub')")
+
+
 def extract_media_meta(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec: str = "stub",
 ) -> DataFrame:
     """binary payload column → (id, n_bytes, sha256, width, height).
 
-    One Arrow batch per ``mapInPandas`` call; hashing and the (stubbed)
-    decode run vectorized over the batch, never per-row Python UDF calls.
+    One Arrow batch per ``mapInPandas`` call; hashing and the decode run
+    vectorized over the batch, never per-row Python UDF calls. ``codec``:
+    ``"stub"`` (deterministic fake — the oracle-checkable default here),
+    ``"pil"`` (force the real codec, error if absent), ``"auto"`` (PIL when
+    importable, stub otherwise).
     """
+    _pick_decoder(codec)  # fail fast on the driver, not inside executors
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _pick_decoder(codec)  # re-resolve in the executor process
         for pdf in batches:
             payloads = pdf[payload_col]
-            metas = [decode_stub(p) for p in payloads]
+            metas = [decode(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

@@ -92,8 +92,16 @@ def run_linkage(spark: SparkSession, source: DataFrame, cfg: LinkageConfig) -> d
         ),
     )
     edges = _stage(wh, cfg, "edges", lambda: edges_of(scored))
+    # the closure loop's per-round lineage truncation is reliable here: each
+    # round lands under the same checkpoint dir as the stage tables, so an
+    # executor loss can only recompute the in-flight round
     clusters = _stage(
-        wh, cfg, "clusters", lambda: cluster_labels(normalized.select("id"), edges)
+        wh,
+        cfg,
+        "clusters",
+        lambda: cluster_labels(
+            normalized.select("id"), edges, checkpoint_dir=f"{cfg.checkpoint_dir}/cc_rounds"
+        ),
     )
 
     # Per-row invariant (input_hint): sha256(content) must survive the

@@ -35,15 +35,19 @@ def stream_exact_dedup(
 ) -> DataFrame:
     """Keep the first arrival of each distinct content hash.
 
-    State is bounded by the watermark horizon: duplicates arriving later
-    than ``watermark`` past the original may re-emit (the documented
-    trade-off of bounded-state streaming dedup; exact global dedup remains a
-    batch job over the checkpointed table).
+    State is bounded by the watermark horizon:
+    ``dropDuplicatesWithinWatermark`` expires a key's state once the
+    watermark passes its first-seen event time — a plain
+    ``dropDuplicates(["sha"])`` would never expire state because the
+    event-time column is not part of the dedup subset. The trade-off is the
+    documented one for bounded-state streaming dedup: duplicates arriving
+    later than ``watermark`` past the original may re-emit; exact global
+    dedup remains a batch job over the checkpointed table.
     """
     return (
         stream.withColumn("sha", F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["sha"])
+        .dropDuplicatesWithinWatermark(["sha"])
     )
 
 
@@ -53,22 +57,26 @@ def stream_fuzzy_link(
     key_col: str,
     text_col: str,
     k: int,
+    include_exact: bool = False,
+    dist_fn=bounded_edit_dist_t,
 ) -> DataFrame:
     """Link arriving records against a static reference table.
 
     Blocks on ``key_col`` equality (stream-static equi-join; the static side
     is broadcast when small), scores ``text_col`` pairs with the bounded OSA
-    kernel, and emits matches with ``dist <= k``. Output columns:
-    stream columns + ``ref_<text_col>``, ``dist``.
+    kernel, and emits matches with ``dist <= k``. By default dist=0 links to
+    an *identical* reference text are excluded (a record trivially "links" to
+    its own copy in the reference corpus — usually noise for linkage); pass
+    ``include_exact=True`` to keep them. Output columns: stream columns +
+    ``ref_<text_col>``, ``dist``.
     """
     ref = reference.select(
         F.col(key_col).alias("__ref_key"),
         F.col(text_col).alias(f"ref_{text_col}"),
     )
     joined = stream.join(ref, F.col(key_col) == F.col("__ref_key")).drop("__ref_key")
-    scored = joined.withColumn(
-        "dist", bounded_edit_dist_t(text_col, f"ref_{text_col}", k)
-    )
-    return scored.where(
-        (F.col("dist") <= k) & (F.col(text_col) != F.col(f"ref_{text_col}"))
-    )
+    scored = joined.withColumn("dist", dist_fn(text_col, f"ref_{text_col}", k))
+    out = scored.where(F.col("dist") <= k)
+    if not include_exact:
+        out = out.where(F.col(text_col) != F.col(f"ref_{text_col}"))
+    return out

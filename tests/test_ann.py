@@ -1,0 +1,99 @@
+"""Banded multi-table LSH ANN: scale parameterization + recall vs brute force.
+
+The r01 scheme (single table, 8 planes = 256 buckets forever) passed
+correctness but is O(N²/256) within buckets at any N; the banded scheme sizes
+planes from N (``banded_params``) so buckets stay ~constant and tables
+recover recall. These tests pin (a) the parameter ladder, (b) measured
+recall@1 against a NumPy brute-force oracle, (c) the bucket-size census the
+scale argument rests on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from levenshtein_spark.functions.vectors import banded_lsh_keys, banded_params
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_banded_params_scale_ladder():
+    # planes grow ~log2(N): bucket population stays ~target at any scale
+    r3 = banded_params(10**3)[1]
+    r6 = banded_params(10**6)[1]
+    r9 = banded_params(10**9)[1]
+    assert r3 < r6 < r9 <= 24
+    # expected bucket size N / 2^r stays within ~2x of target (until the
+    # 24-plane clamp, where buckets grow linearly again — documented)
+    for n in (10**3, 10**5, 10**7):
+        _, r = banded_params(n, target_bucket=16)
+        assert n / 2**r <= 32.0
+    assert banded_params(100)[1] >= 2  # lower clamp
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    return df.persist()
+
+
+def test_banded_bucket_census(spark, emb):
+    n = emb.count()
+    b, r = banded_params(n, target_bucket=8)
+    keyed = emb.select(
+        F.explode(banded_lsh_keys("embedding", b, r, seed=0)).alias("k"), "vec_id"
+    )
+    sizes = keyed.groupBy("k").count().agg(
+        F.max("count").alias("mx"), F.avg("count").alias("avg")
+    ).collect()[0]
+    # no bucket concentrates the corpus: max far below N, mean near target
+    assert sizes.mx <= n * 0.2
+    assert sizes.avg <= 8 * 4
+
+
+def test_banded_recall_planted_neighbors(spark, emb):
+    """Recall on the workload LSH exists for: genuine near-duplicates.
+
+    The synthetic embeddings are near-orthogonal (max top-1 cosine ~0.47 at
+    sf0.001), where ANY sublinear method has theory-bounded recall — so we
+    plant perturbed copies (cosine ~0.95 to their source) and assert the
+    banded candidate set recovers the planted true top-1. Hyperplane-LSH
+    theory: p = 1 - theta/pi ~ 0.90 per plane at cos 0.95, candidate
+    probability 1-(1-p^6)^4 ~ 0.95 at the (4, 6) shape."""
+    rows = emb.collect()
+    ids = [int(x.vec_id) for x in rows]
+    M = np.array([x.embedding for x in rows], dtype=np.float64)
+    rng = np.random.default_rng(7)
+    n_plant = 100
+    src_idx = rng.choice(len(ids), n_plant, replace=False)
+    planted = []
+    for j, si in enumerate(src_idx):
+        v = M[si]
+        noise = rng.standard_normal(v.shape)
+        noise -= (noise @ v) / (v @ v) * v  # orthogonal component only
+        w = v + noise * (np.linalg.norm(v) / np.linalg.norm(noise)) * 0.33
+        planted.append((100000 + j, [float(x) for x in w]))
+    probe_of = {100000 + j: ids[si] for j, si in enumerate(src_idx)}
+
+    base = [(i, [float(x) for x in M[k]]) for k, i in enumerate(ids)]
+    df = spark.createDataFrame(base + planted, "vec_id long, embedding array<double>")
+    n = df.count()
+    b, r = banded_params(n, target_bucket=8)
+
+    keyed = df.select(
+        F.explode(banded_lsh_keys("embedding", b, r, seed=0)).alias("k"), "vec_id"
+    )
+    cand = (
+        keyed.alias("l")
+        .join(keyed.alias("r"), "k")
+        .where((F.col("l.vec_id") >= 100000) & (F.col("r.vec_id") < 100000))
+        .select(F.col("l.vec_id").alias("q"), F.col("r.vec_id").alias("nb"))
+        .distinct()
+        .collect()
+    )
+    found = {(row.q, row.nb) for row in cand}
+    hits = sum(1 for q, src in probe_of.items() if (q, src) in found)
+    recall = hits / n_plant
+    assert recall >= 0.75, f"planted near-dup recall {recall:.3f}"

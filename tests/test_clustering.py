@@ -71,3 +71,24 @@ def test_cluster_labels_includes_singletons(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     got = {r.id: r.cluster_id for r in cluster_labels(ids, edges).collect()}
     assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_cc_reliable_checkpoint_matches_local(spark, tmp_path):
+    """checkpoint_dir mode (reliable parquet rounds) == localCheckpoint mode,
+    and the round tables actually land on disk."""
+    rng = np.random.default_rng(9)
+    edge_list = [
+        (f"n{int(a):04d}", f"n{int(b):04d}")
+        for a, b in rng.integers(0, 150, (120, 2))
+        if a != b
+    ]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    ckpt = str(tmp_path / "cc")
+    got_reliable = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    got_local = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got_reliable == got_local
+    rounds = sorted(p.name for p in (tmp_path / "cc").iterdir())
+    assert rounds and rounds[0] == "cc_round_000"
