@@ -119,20 +119,30 @@ def q_ann_banded_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: cosine >= 0.25 within LSH
-    buckets (the dedup family's vector-space member — candidate generation
-    via buckets, verification via exact cosine)."""
-    e = tbl(spark, sf, "embeddings").select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding"), _PLANES, seed=0).alias("bucket")
+    """Embedding-cosine near-duplicate pairs: cosine >= 0.25 among banded
+    multi-table LSH candidates (the dedup family's vector-space member —
+    candidate generation via LSH, verification via exact cosine).
+
+    Round 2: moved off the fixed single-table 256-bucket scheme onto the
+    scale-parameterized banded keys (see ``q_ann_banded_topk``) and the
+    salted slim-pair operator; more tables also raise candidate recall at
+    the 0.25 threshold vs the old single 8-plane code.
+    """
+    from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
+
+    e = tbl(spark, sf, "embeddings")
+    blocks = e.select(
+        F.explode(banded_lsh_keys("embedding", _B_TABLES, _B_PLANES, seed=0)).alias("block_key"),
+        F.col("vec_id").alias("id"),
     )
-    l, r = e.alias("l"), e.alias("r")
+    und = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    emb = e.select(F.col("vec_id").alias("id"), "embedding")
+    fat = attach_pair_payload(und, emb, ["embedding"])
     return (
-        l.join(r, "bucket")
-        .where(F.col("l.vec_id") < F.col("r.vec_id"))
-        .select(
-            F.col("l.vec_id").alias("vec_a"),
-            F.col("r.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("l.embedding"), F.col("r.embedding")), 6).alias("cos_sim"),
+        fat.select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round(cosine(F.col("embedding_a"), F.col("embedding_b")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= 0.25)
     )
@@ -219,13 +229,17 @@ FROM ranked WHERE rank <= {_TOP_K}
 SELECT vec_id, {_dd_lsh_bucket('embedding')} AS bucket FROM embeddings
 """,
     "dedup_embedding": f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_dd_lsh_bucket('embedding')} AS bucket FROM embeddings
+WITH keyed AS ({_dd_banded_keys_sql()}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM keyed l JOIN keyed r ON l.block_key = r.block_key AND l.vec_id < r.vec_id
 )
-SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-       round({_dd_cosine('l.embedding', 'r.embedding')}, 6) AS cos_sim
-FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-WHERE round({_dd_cosine('l.embedding', 'r.embedding')}, 6) >= 0.25
+SELECT c.vec_a, c.vec_b,
+       round({_dd_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE round({_dd_cosine('a.embedding', 'b.embedding')}, 6) >= 0.25
 """,
     "ann_bucket_topk": f"""
 WITH b AS (

@@ -55,32 +55,33 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup candidates + true word-bigram Jaccard.
 
     Pairs sharing >= 1 of the {bands} band keys; Jaccard from distinct
-    bigram sets (array_intersect / array_union).
+    bigram sets (array_intersect / array_union). The band self-join runs
+    through the hot-block-salted ``candidate_pairs`` operator — a
+    mass-duplicated document puts its whole clone set into one band key, and
+    without the triangle-salted split that key is a single-task O(n²)
+    straggler at corpus scale.
     """
     d = tbl(spark, sf, "documents")
-    # persisted: consumed on both sides of the band-key self-join, and the
-    # MinHash signature expression is expensive to recompute
-    keys = _doc_band_keys(d).persist()
-    pairs = (
-        keys.alias("l")
-        .join(keys.alias("r"), "band_key")
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
+    # persisted: consumed by the census + both join sides; the MinHash
+    # signature expression is expensive to recompute
+    blocks = (
+        _doc_band_keys(d)
+        .select(F.col("band_key").alias("block_key"), F.col("doc_id").alias("id"))
+        .persist()
     )
-    grams = d.select("doc_id", F.array_distinct(word_bigrams(F.col("text"))).alias("g"))
-    return (
-        pairs.join(grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a")), "doc_a")
-        .join(grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.size(F.array_intersect("g_a", "g_b")).cast("double")
-                / F.size(F.array_union("g_a", "g_b")),
-                6,
-            ).alias("jaccard"),
-        )
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    grams = d.select(
+        F.col("doc_id").alias("id"), F.array_distinct(word_bigrams(F.col("text"))).alias("g")
+    )
+    fat = attach_pair_payload(pairs, grams, ["g"])
+    return fat.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round(
+            F.size(F.array_intersect("g_a", "g_b")).cast("double")
+            / F.size(F.array_union("g_a", "g_b")),
+            6,
+        ).alias("jaccard"),
     )
 
 

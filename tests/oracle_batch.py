@@ -8,8 +8,9 @@ that scale affordable while staying STRUCTURALLY INDEPENDENT of the kernel
 under test: plain full-matrix DP advanced cell-column by cell-column across
 the batch — no band, no min-plus prefix scan, no trimming, no counting
 bound, no iterative doubling. Agreement between the two is therefore a
-meaningful differential, and ``tests/test_kernel_properties.py`` separately
-pins this batch oracle against the scalar Python oracle.
+meaningful differential, and ``tests/test_oracle_batch.py`` separately pins
+this batch oracle against the scalar Python oracle (exhaustive small-
+alphabet universe + random pairs, both variants, several caps).
 """
 
 from __future__ import annotations
