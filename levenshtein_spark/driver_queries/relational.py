@@ -111,8 +111,54 @@ def q_daily_event_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SIM_P = 0.7
+# computed ONCE in Python and repr-injected into the SQL twin: the SQL
+# literal 0.3 parses to a DIFFERENT double than Python's 1 - 0.7, and
+# floor((1-p)*m) straddles that ulp at some lengths
+_ONE_MINUS_P = 1.0 - _SIM_P
+_SIM_PLEN = 32
+
+
+def q_similarity_join_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Similarity-threshold self-join (doc/Usage.md:138-144 as a JOIN): all
+    document pairs whose {_SIM_PLEN}-char prefixes have Levenshtein
+    similarity >= {_SIM_P}.
+
+    Candidates come from the lossless log-length banding + salted slim-pair
+    operator (operators/simjoin.py); the per-pair cap is the reference's
+    similarity-to-max-edits conversion k = floor((1-p)*max_len)
+    (src/similarity_t.cpp:56-58), so exceeding pairs never run a full DP.
+    The Levenshtein (non-transposition) kernel keeps the DuckDB twin exact;
+    the OSA variant is the operator's default (`similarity_t`).
+    """
+    from levenshtein_spark.functions.distance import bounded_edit_dist
+    from levenshtein_spark.operators.simjoin import similarity_self_join
+
+    d = tbl(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), F.substring("text", 1, _SIM_PLEN).alias("ptext")
+    )
+
+    def lev_sim(a, b):
+        m = F.greatest(F.length(a), F.length(b))
+        k = F.floor(F.lit(_ONE_MINUS_P) * m).cast("long")
+        dist = bounded_edit_dist(a, b, k)
+        return F.when(m == 0, F.lit(1.0)).otherwise(
+            F.greatest(F.lit(0.0), F.lit(1.0) - dist / m)
+        )
+
+    out = similarity_self_join(
+        d, "ptext", _SIM_P, sim_fn=lev_sim, hot_threshold=500, num_salts=8
+    )
+    return out.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
 QUERIES = {
     "similar_names_by_nation": q_similar_names_by_nation,
+    "similarity_join_docs": q_similarity_join_docs,
     "events_sessionize": q_events_sessionize,
     "pricing_rollup": q_pricing_rollup,
     "top_customers_by_revenue": q_top_customers_by_revenue,
@@ -132,6 +178,24 @@ JOIN nation n ON n.n_nationkey = a.c_nationkey
 WHERE least(levenshtein(p.name_a, p.name_b),
             least(1, greatest(length(p.name_a), length(p.name_b))) + 1) <= 1
 GROUP BY n.n_name
+""",
+    # blocking is lossless for sim >= p, so the oracle is the brute-force
+    # threshold join; sim filtered UNROUNDED in both engines, rounded in the
+    # projection only
+    "similarity_join_docs": f"""
+WITH d AS (SELECT doc_id, substr(text, 1, {_SIM_PLEN}) AS ptext FROM documents),
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CASE WHEN greatest(strlen(a.ptext), strlen(b.ptext)) = 0 THEN 1.0
+              ELSE greatest(0.0, 1.0 -
+                least(levenshtein(a.ptext, b.ptext),
+                      CAST(floor({_ONE_MINUS_P!r} * greatest(strlen(a.ptext), strlen(b.ptext))) AS BIGINT) + 1)
+                * 1.0 / greatest(strlen(a.ptext), strlen(b.ptext)))
+         END AS sim
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(sim, 6) AS sim
+FROM scored WHERE sim >= {_SIM_P}
 """,
     "events_sessionize": """
 WITH g AS (
