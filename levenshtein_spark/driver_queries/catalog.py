@@ -160,8 +160,30 @@ def q_top_k_matches(spark: SparkSession, sf: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).where("rank <= 3")
 
 
+def q_sql_usage_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's SQL surface end-to-end: register the catalog with
+    ``register_all`` (incl. legacy names, doc/Notes.md:17-26) and run the
+    doc/Usage.md:101-108 filter-by-distance query VERBATIM through
+    ``spark.sql`` — new name and legacy name side by side.
+    """
+    from levenshtein_spark.functions.register import register_all
+
+    register_all(spark)
+    tbl(spark, sf, "customer").createOrReplaceTempView("customer_sqlreg")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               bounded_edit_dist(c_name, 'Customer#000000042', 6) AS dist,
+               levlim(c_name, 'Customer#000000042', 6) AS dist_legacy
+        FROM customer_sqlreg
+        WHERE bounded_edit_dist(c_name, 'Customer#000000042', 6) <= 6
+        """
+    )
+
+
 QUERIES = {
     "edit_dist": q_edit_dist,
+    "sql_usage_filter": q_sql_usage_filter,
     "edit_dist_t": q_edit_dist_t,
     "bounded_edit_dist": q_bounded_edit_dist,
     "bounded_edit_dist_builtin": q_bounded_edit_dist_builtin,
@@ -182,6 +204,16 @@ ORACLES = {
     "edit_dist": f"""
 SELECT pid, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
 FROM ({_lev_pairs}) pairs
+""",
+    "sql_usage_filter": """
+SELECT c_custkey,
+       CAST(least(levenshtein(c_name, 'Customer#000000042'),
+                  least(6, greatest(length(c_name), 18)) + 1) AS BIGINT) AS dist,
+       CAST(least(levenshtein(c_name, 'Customer#000000042'),
+                  least(6, greatest(length(c_name), 18)) + 1) AS BIGINT) AS dist_legacy
+FROM customer
+WHERE least(levenshtein(c_name, 'Customer#000000042'),
+            least(6, greatest(length(c_name), 18)) + 1) <= 6
 """,
     "edit_dist_t": f"""
 WITH RECURSIVE {osa_cte(_PART_PAIRS_SQL.format(lim=400))}

@@ -83,16 +83,20 @@ def connected_components(
 
     def materialize(df: DataFrame, rnd: int) -> DataFrame:
         if checkpoint_dir is None:
-            return df.localCheckpoint()
+            # lazy: the signature action right after is the ONE job that
+            # both materializes the checkpoint and checks convergence —
+            # an eager checkpoint would double the job count of the loop,
+            # which is pure scheduling overhead at every scale
+            return df.localCheckpoint(eager=False)
         path = f"{checkpoint_dir}/cc_round_{rnd:03d}"
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
     e = materialize(_canon(edges, "src", "dst"), 0)
-    if e.isEmpty():
+    sig = _signature(e)  # materializes round 0 + counts in one job
+    if sig[0] == 0:
         return spark.createDataFrame([], "id string, cluster_id string")
 
-    sig = _signature(e)
     for rnd in range(1, max_iterations + 1):
         # one materialization per round: the two phases compose lazily and
         # the checkpoint truncates lineage before the next iteration
