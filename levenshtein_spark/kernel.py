@@ -63,12 +63,11 @@ _CHUNK_CELL_BUDGET = 1 << 22
 # doubling); caps at or below run in a single pass.
 _DOUBLING_START = 16
 
-# Cell budget for the counting-bound histogram pass: 2 uint8 matrices of
-# (rows x max_query_len) per block, so peak temporary memory is bounded in
-# string LENGTH as well as row count, unlike a fixed row chunk. 2^20 cells
-# keeps the per-block bincount histograms (rows x 64 int64) L2-resident —
-# measured 123k pairs/s at 2^20 vs 45-75k at 2^22..2^24 on 64-char pairs.
-_HIST_CELL_BUDGET = 1 << 20
+# Pairs per counting-bound histogram chunk: bounds the per-chunk bincount
+# table (2 x rows x 64 int64 = 8 MB at 2^13); the byte buffers themselves
+# are concatenations of the actual strings, so peak temporary memory is
+# input-linear in string length (no padded matrices — ADVICE r01).
+_HIST_PAIRS_CHUNK = 1 << 13
 
 # ---------------------------------------------------------------------------
 # Optional instrumentation (analogue of the reference's CAPTURE_METRICS
@@ -258,38 +257,31 @@ def batch_edit_distance(
     cand = np.flatnonzero(t_nlen + t_mlen > 2 * keff[todo])
     if _STATS_ON:
         STATS["hist_pairs"] += int(cand.size)
-    # Chunk by CELL budget (rows x max query width), not a fixed row count:
-    # sorting by query length first keeps chunks width-homogeneous, so peak
-    # temporary memory is ~2 x _HIST_CELL_BUDGET bytes regardless of string
-    # length (a fixed 8192-row chunk of ~100 KB strings would allocate GBs).
-    cand = cand[np.argsort(t_mlen[cand], kind="stable")]
-    blocks = []
-    s0 = 0
-    while s0 < cand.size:
-        w0 = max(int(t_mlen[cand[s0]]), 1)
-        rows = min(max(_HIST_CELL_BUDGET // w0, 1), cand.size - s0)
-        # within the slice widths only grow; shrink rows to the budget at
-        # the slice's true (max) width
-        w_max = max(int(t_mlen[cand[s0 + rows - 1]]), 1)
-        rows = min(max(_HIST_CELL_BUDGET // w_max, 1), rows)
-        blocks.append(cand[s0 : s0 + rows])
-        s0 += rows
-    for blk in blocks:
+    # Gather-free histograms: concatenate each chunk's bytes into ONE buffer
+    # and bincount pair_index*64 + (byte & 63) in a single C pass — no
+    # padded (rows x width) matrices and no per-pair Python fill loop, so
+    # temporary memory is input-linear in string length and the pass runs at
+    # memory speed (~2x the padded-matrix formulation on 64-char pairs).
+    # Long-string chunks (mean > 1 KB) drop the int64 index vector (8 bytes
+    # per input byte) and bincount per pair instead — few pairs, big
+    # buffers, so the Python loop is noise and memory traffic falls ~8x.
+    for s0 in range(0, cand.size, _HIST_PAIRS_CHUNK):
+        blk = cand[s0 : s0 + _HIST_PAIRS_CHUNK]
         bn = blk.size
-        w = int(t_mlen[blk].max())
-        S = np.zeros((bn, w), np.uint8)
-        Q = np.zeros((bn, w), np.uint8)
-        for r, s in enumerate(blk):
-            S[r, : t_nlen[s]] = np.frombuffer(subj[s], np.uint8)
-            Q[r, : t_mlen[s]] = np.frombuffer(quer[s], np.uint8)
-        np.bitwise_and(S, 63, out=S)
-        np.bitwise_and(Q, 63, out=Q)
-        offs = (np.arange(bn, dtype=np.int64) * 64)[:, None]
-        hs = np.bincount((S + offs).ravel(), minlength=bn * 64).reshape(bn, 64)
-        hq = np.bincount((Q + offs).ravel(), minlength=bn * 64).reshape(bn, 64)
-        # padding zeros land in bin 0 (0 & 63 == 0); subtract them out
-        hs[:, 0] -= w - t_nlen[blk]
-        hq[:, 0] -= w - t_mlen[blk]
+        n_bytes = int(t_mlen[blk].sum())
+        if n_bytes > 1024 * bn:
+            hs = np.empty((bn, 64), np.int64)
+            hq = np.empty((bn, 64), np.int64)
+            for r, s in enumerate(blk):
+                hs[r] = np.bincount(np.frombuffer(subj[s], np.uint8) & 63, minlength=64)
+                hq[r] = np.bincount(np.frombuffer(quer[s], np.uint8) & 63, minlength=64)
+        else:
+            sb = np.frombuffer(b"".join([subj[s] for s in blk]), np.uint8)
+            qb = np.frombuffer(b"".join([quer[s] for s in blk]), np.uint8)
+            s_idx = np.repeat(np.arange(bn, dtype=np.int64) * 64, t_nlen[blk])
+            q_idx = np.repeat(np.arange(bn, dtype=np.int64) * 64, t_mlen[blk])
+            hs = np.bincount(s_idx + (sb & 63), minlength=bn * 64).reshape(bn, 64)
+            hq = np.bincount(q_idx + (qb & 63), minlength=bn * 64).reshape(bn, 64)
         l1 = np.abs(hs - hq).sum(1)
         kb = blk[l1 > 2 * keff[todo[blk]]]
         if kb.size:
