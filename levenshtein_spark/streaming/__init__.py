@@ -1,4 +1,5 @@
 from levenshtein_spark.streaming.linkage import (  # noqa: F401
     stream_exact_dedup,
     stream_fuzzy_link,
+    stream_incremental_link,
 )

@@ -13,6 +13,10 @@ the shape a training-data ingestion pipeline needs:
   scored with the Arrow-batched bounded-OSA kernel. Stream-static equi-joins
   are stateless on the stream side, so this scales with arrival rate, not
   history.
+* ``stream_incremental_link`` — custom stateful operator
+  (``applyInPandasWithState``): links each arrival against every earlier
+  record of its block (continuous within-stream fuzzy dedup), state bounded
+  by a processing-time timeout + per-block FIFO cap.
 
 Both return unstarted streaming DataFrames — callers attach the sink
 (``writeStream``) and trigger; tests use ``trigger(availableNow=True)`` with
@@ -80,3 +84,74 @@ def stream_fuzzy_link(
     if not include_exact:
         out = out.where(F.col(text_col) != F.col(f"ref_{text_col}"))
     return out
+
+
+def stream_incremental_link(
+    stream: DataFrame,
+    key_col: str,
+    id_col: str,
+    text_col: str,
+    k: int,
+    state_timeout_ms: int = 3_600_000,
+    max_state_rows: int = 10_000,
+) -> DataFrame:
+    """Custom stateful operator: link each arriving record against every
+    EARLIER record of its block — continuous within-stream fuzzy dedup,
+    which neither ``dropDuplicates`` (exact only) nor a stream-static join
+    (fixed reference) can express.
+
+    Built on ``applyInPandasWithState``: state per block key is the list of
+    (id, text) seen so far; each micro-batch scores its arrivals against the
+    state with the batch OSA kernel, emits ``(key, id, match_id, dist)``
+    edges with ``dist <= k``, and appends itself to the state. State is
+    bounded two ways: a processing-time timeout (``state_timeout_ms``) drops
+    idle blocks, and ``max_state_rows`` caps a block's history FIFO —
+    both knobs are the documented trade-off for unbounded streams (the exact
+    closure remains the batch pipeline's job; this operator is the low-
+    latency frontier). Arrivals inside one micro-batch are ordered by id so
+    the output is deterministic for a given batching.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from levenshtein_spark.kernel import batch_edit_distance
+
+    out_schema = (
+        f"{key_col} string, {id_col} long, match_id long, dist long"
+    )
+    state_schema = "ids array<long>, texts array<string>"
+
+    def link_group(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (block_key,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids, texts = state.get if state.exists else ([], [])
+        ids, texts = list(ids), list(texts)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col)
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if ids:
+                    d = batch_edit_distance([text] * len(ids), texts, k=k)
+                    for mid, dist in zip(ids, d):
+                        if dist <= k:
+                            rows.append((block_key, int(rid), int(mid), int(dist)))
+                ids.append(int(rid))
+                texts.append(str(text))
+        if len(ids) > max_state_rows:
+            ids = ids[-max_state_rows:]
+            texts = texts[-max_state_rows:]
+        state.update((ids, texts))
+        state.setTimeoutDuration(state_timeout_ms)
+        if rows:
+            yield pd.DataFrame(rows, columns=[key_col, id_col, "match_id", "dist"])
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        link_group,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -66,3 +66,47 @@ def test_stream_fuzzy_link(spark, stream_dir):
     # id 5 'hello world' matches n2 reference 'hxllo world' at distance 1;
     # exact-equal pairs are filtered (they are the sha short-circuit's job)
     assert got == {(3, "hello world", 1), (5, "hxllo world", 1)}
+
+
+def test_stream_incremental_link(spark, tmp_path):
+    """applyInPandasWithState fuzzy dedup: arrivals link to EARLIER records
+    of their block, across micro-batches (maxFilesPerTrigger=1 splits the
+    availableNow run into one batch per file, exercising state carry-over)."""
+    from levenshtein_spark.streaming import stream_incremental_link
+
+    src = tmp_path / "inc"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "n1", "hello world"), (2, "n1", "hello wxrld"), (3, "n2", "other text")],
+        "id long, block string, content string",
+    )
+    b2 = spark.createDataFrame(
+        [(4, "n1", "hello world!"), (5, "n2", "other textz")],
+        "id long, block string, content string",
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("id long, block string, content string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = stream_incremental_link(
+        stream, key_col="block", id_col="id", text_col="content", k=2
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_link")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id, r.match_id, r.dist)
+        for r in spark.sql("select * from inc_link").collect()
+    }
+    # id2 ~ id1 (dist 1, same batch); id4 ~ id1 (1) and ~ id2 (2, across
+    # batches); id5 ~ id3 (1, across batches)
+    assert got == {(2, 1, 1), (4, 1, 1), (4, 2, 2), (5, 3, 1)}
