@@ -156,9 +156,42 @@ def q_similarity_join_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_fuzzy_join_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-table batch linkage (operators.pairs.fuzzy_join): link the
+    customer table against a synthetic "dirty batch" — every name with its
+    last two characters swapped (a planted adjacent transposition =
+    Levenshtein 2). Blocked on (nation, first two digit segments), which is
+    exact for the tail mutation, so blocks stay tiny while the candidate
+    set provably contains every planted match; bipartite salted candidates
+    + slim payload re-attach; bounded Levenshtein kernel at k=2 keeps the
+    DuckDB twin a plain expression.
+    """
+    from levenshtein_spark.functions.distance import bounded_edit_dist
+    from levenshtein_spark.operators.pairs import fuzzy_join
+
+    c = tbl(spark, sf, "customer")
+    key = F.concat_ws(
+        "|", F.col("c_nationkey").cast("string"),
+        F.substring("c_name", 10, 3), F.substring("c_name", 13, 3),
+    )
+    left = c.select(F.col("c_custkey").alias("id"), key.alias("blk"), F.col("c_name").alias("name"))
+    mutated = F.concat(
+        F.substring("c_name", 1, 16), F.substring("c_name", 18, 1), F.substring("c_name", 17, 1)
+    )
+    right = c.select(
+        (F.col("c_custkey") + 1_000_000).alias("id"), key.alias("blk"), mutated.alias("name")
+    )
+    out = fuzzy_join(
+        left, right, key_col="blk", text_col="name", k=2,
+        dist_fn=bounded_edit_dist, hot_threshold=500, num_salts=4,
+    )
+    return out.select("id_l", "id_r", F.col("dist").cast("long").alias("dist"))
+
+
 QUERIES = {
     "similar_names_by_nation": q_similar_names_by_nation,
     "similarity_join_docs": q_similarity_join_docs,
+    "fuzzy_join_customers": q_fuzzy_join_customers,
     "events_sessionize": q_events_sessionize,
     "pricing_rollup": q_pricing_rollup,
     "top_customers_by_revenue": q_top_customers_by_revenue,
@@ -196,6 +229,26 @@ scored AS (
 )
 SELECT doc_a, doc_b, round(sim, 6) AS sim
 FROM scored WHERE sim >= {_SIM_P}
+""",
+    "fuzzy_join_customers": """
+WITH l AS (
+  SELECT c_custkey AS id_l, c_nationkey, substr(c_name, 10, 3) AS s1,
+         substr(c_name, 13, 3) AS s2, c_name AS name_l
+  FROM customer
+),
+r AS (
+  SELECT c_custkey + 1000000 AS id_r, c_nationkey, substr(c_name, 10, 3) AS s1,
+         substr(c_name, 13, 3) AS s2,
+         substr(c_name, 1, 16) || substr(c_name, 18, 1) || substr(c_name, 17, 1) AS name_r
+  FROM customer
+),
+scored AS (
+  SELECT l.id_l, r.id_r,
+         CAST(least(levenshtein(l.name_l, r.name_r),
+                    least(2, greatest(length(l.name_l), length(r.name_r))) + 1) AS BIGINT) AS dist
+  FROM l JOIN r ON l.c_nationkey = r.c_nationkey AND l.s1 = r.s1 AND l.s2 = r.s2
+)
+SELECT id_l, id_r, dist FROM scored WHERE dist <= 2
 """,
     "events_sessionize": """
 WITH g AS (

@@ -85,6 +85,84 @@ def candidate_pairs(
     )
 
 
+def candidate_pairs_lr(
+    blocks_l: DataFrame,
+    blocks_r: DataFrame,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    num_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Bipartite candidate generation: two exploded block tables
+    ``(block_key, id)`` from DIFFERENT record sets → distinct slim
+    ``(id_l, id_r)`` pairs sharing >= 1 key.
+
+    The linkage use case "link file A against file B" (one-sided growth:
+    a daily batch against a canonical table). Skew handling is the
+    bipartite form of the triangle salt: for keys whose left×right fan-out
+    exceeds ``hot_threshold``, left rows take a deterministic salt
+    ``hash(id) % S`` and right rows replicate to all S salts — every
+    cross pair meets exactly once, spread over S partitions. Lossless.
+    """
+    sl = blocks_l.select("block_key", F.col("id").alias("id_l"))
+    sr = blocks_r.select("block_key", F.col("id").alias("id_r"))
+    sizes = (
+        sl.groupBy("block_key").count().withColumnRenamed("count", "n_l")
+        .join(sr.groupBy("block_key").count().withColumnRenamed("count", "n_r"), "block_key")
+    )
+    hot_keys = sizes.where(F.col("n_l") * F.col("n_r") > hot_threshold).select("block_key")
+    tl = sl.join(F.broadcast(hot_keys.withColumn("is_hot", F.lit(True))), "block_key", "left")
+    tr = sr.join(F.broadcast(hot_keys.withColumn("is_hot", F.lit(True))), "block_key", "left")
+
+    pn = (
+        tl.where(F.col("is_hot").isNull()).drop("is_hot")
+        .join(tr.where(F.col("is_hot").isNull()).drop("is_hot"), "block_key")
+        .select("id_l", "id_r")
+    )
+    hl = tl.where(F.col("is_hot")).drop("is_hot").withColumn(
+        "salt", F.pmod(F.xxhash64("id_l"), F.lit(num_salts)).cast("int")
+    )
+    hr = (
+        tr.where(F.col("is_hot")).drop("is_hot")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
+    )
+    ph = hl.join(hr, ["block_key", "salt"]).select("id_l", "id_r")
+
+    return pn.unionByName(ph).distinct()
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    text_col: str,
+    k: int,
+    id_col: str = "id",
+    dist_fn=None,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    num_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Batch two-table fuzzy linkage (the batch twin of
+    ``streaming.stream_fuzzy_link``, at the slim-pair scale discipline):
+    block both sides on ``key_col`` equality, generate salted bipartite
+    candidates, re-attach ``text_col`` per side, score with ``dist_fn``
+    (default: the bounded OSA kernel) and keep ``dist <= k``.
+    Output: ``(id_l, id_r, <text>_l, <text>_r, dist)``.
+    """
+    if dist_fn is None:
+        from levenshtein_spark.functions.distance import bounded_edit_dist_t
+
+        dist_fn = bounded_edit_dist_t
+
+    bl = left.select(F.col(key_col).alias("block_key"), F.col(id_col).alias("id"))
+    br = right.select(F.col(key_col).alias("block_key"), F.col(id_col).alias("id"))
+    pairs = candidate_pairs_lr(bl, br, hot_threshold, num_salts)
+    a = left.select(F.col(id_col).alias("id_l"), F.col(text_col).alias(f"{text_col}_l"))
+    b = right.select(F.col(id_col).alias("id_r"), F.col(text_col).alias(f"{text_col}_r"))
+    fat = pairs.join(a, "id_l").join(b, "id_r")
+    return fat.withColumn(
+        "dist", dist_fn(f"{text_col}_l", f"{text_col}_r", k)
+    ).where(F.col("dist") <= k)
+
+
 def attach_pair_payload(pairs: DataFrame, records: DataFrame, cols: list[str]) -> DataFrame:
     """Join per-id payload columns onto slim pairs as ``{col}_a`` / ``{col}_b``.
 

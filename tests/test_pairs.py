@@ -43,3 +43,55 @@ def test_generator_determinism_and_skew(spark):
 
     hot = sum(1 for r in a if r.repo == HOT_REPO)
     assert hot / len(a) > 0.15
+
+
+def test_candidate_pairs_lr_matches_bruteforce(spark):
+    """Bipartite salted candidates == brute-force distinct key-sharing
+    pairs, including a deliberately hot key routed through the salt path."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(4)
+    rows_l, rows_r = [], []
+    for i in range(300):
+        rows_l.append((f"k{int(rng.integers(0, 8))}", f"L{i:03d}"))
+    for j in range(200):
+        rows_r.append((f"k{int(rng.integers(0, 8))}", f"R{j:03d}"))
+    # hot key on both sides
+    rows_l += [("hot", f"LH{i:03d}") for i in range(60)]
+    rows_r += [("hot", f"RH{j:03d}") for j in range(50)]
+
+    from levenshtein_spark.operators.pairs import candidate_pairs_lr
+
+    bl = spark.createDataFrame(rows_l, "block_key string, id string")
+    br = spark.createDataFrame(rows_r, "block_key string, id string")
+    got = {
+        (r.id_l, r.id_r)
+        for r in candidate_pairs_lr(bl, br, hot_threshold=500, num_salts=4).collect()
+    }
+    exp = {
+        (il, ir)
+        for kl, il in rows_l
+        for kr, ir in rows_r
+        if kl == kr
+    }
+    assert got == exp
+    assert any(a.startswith("LH") for a, _ in got)  # hot path exercised
+
+
+def test_fuzzy_join_two_tables(spark):
+    from levenshtein_spark.operators.pairs import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "b1", "hello world"), (2, "b1", "totally different"), (3, "b2", "abc")],
+        "id long, blk string, txt string",
+    )
+    right = spark.createDataFrame(
+        [(10, "b1", "hello wxrld"), (11, "b2", "abd"), (12, "b2", "zzzzzz")],
+        "id long, blk string, txt string",
+    )
+    got = {
+        (r.id_l, r.id_r, r.dist)
+        for r in fuzzy_join(left, right, key_col="blk", text_col="txt", k=2).collect()
+    }
+    assert got == {(1, 10, 1), (3, 11, 1)}

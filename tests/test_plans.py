@@ -1,0 +1,71 @@
+"""Physical-plan regression guards — the scale properties docs/PLANS.md
+documents, asserted so they can't silently regress:
+
+* no ``CartesianProduct`` anywhere (broadcast nested-loop for tiny probe
+  sides is fine; an unbroadcast cartesian is a 100-TB killer);
+* no row-at-a-time ``BatchEvalPython`` (Python must enter plans only as
+  Arrow-batched ``ArrowEvalPython`` / ``FlatMapGroupsInPandas`` nodes);
+* the rewritten round-2 queries keep their slim block-key joins.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# streaming_fuzzy_link EXECUTES a streaming query inside the callable; plans
+# are asserted for the batch queries only
+_SKIP = {"streaming_fuzzy_link"}
+
+
+def _plan(spark, fn):
+    return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    import __spark_entry__ as entry
+
+    plans = {}
+    for name, fn in entry.queries().items():
+        if name in _SKIP:
+            continue
+        plans[name] = _plan(spark, fn)
+    return plans
+
+
+def test_no_cartesian_product_anywhere(all_plans):
+    bad = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    assert not bad, f"cartesian product in: {bad}"
+
+
+def test_no_row_python_anywhere(all_plans):
+    bad = [n for n, p in all_plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python UDF in: {bad}"
+
+
+def test_scoring_python_is_arrow_batched(all_plans):
+    p = all_plans["linkage_score"]
+    assert "ArrowEvalPython" in p
+
+
+def test_rewritten_queries_join_on_block_key(spark):
+    """The r01 'weak' joins must stay keyed on block_key (not nation/band)."""
+    from levenshtein_spark.driver_queries.dedup import (
+        q_dedup_ngram_jaccard,
+        q_dedup_simhash_pairs,
+    )
+    from levenshtein_spark.driver_queries.relational import q_similar_names_by_nation
+
+    import re
+
+    # persisted sub-plans from earlier tests collapse join subtrees into
+    # InMemoryRelation nodes and hide the keys we assert on
+    spark.catalog.clearCache()
+
+    for fn in (q_dedup_simhash_pairs, q_dedup_ngram_jaccard, q_similar_names_by_nation):
+        opt = fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        keys = [m.group(1) for m in re.finditer(r"Join Inner, \(([^)]*)\)", opt)]
+        assert any("block_key" in k for k in keys), fn.__name__
+        assert not any("c_nationkey#" in k and "= c_nationkey#" in k for k in keys), fn.__name__
