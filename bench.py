@@ -142,14 +142,17 @@ def main() -> None:
     sample = pairs.limit(100_000).collect()
     ka = [r.content_prefix_a for r in sample]
     kb = [r.content_prefix_b for r in sample]
+    # timing passes run with counters OFF (apples-to-apples with
+    # tools/bench_native_baseline.py); a separate untimed pass collects them
     k_secs = float("inf")
     for _ in range(2):  # best-of-2: host clock drifts (BENCH/BASELINE.md)
-        _kernel.enable_stats(True)
         t0 = time.perf_counter()
         _kernel.batch_edit_distance(ka, kb, k=8)
         k_secs = min(k_secs, time.perf_counter() - t0)
-        kstats = _kernel.stats_snapshot()
-        _kernel.enable_stats(False)
+    _kernel.enable_stats(True)
+    _kernel.batch_edit_distance(ka, kb, k=8)
+    kstats = _kernel.stats_snapshot()
+    _kernel.enable_stats(False)
     detail["kernel_1core_pairs_per_sec"] = round(len(ka) / max(k_secs, 1e-9), 1)
     for key in ("pairs", "exit_identical", "exit_ldiff", "hist_pairs", "hist_kills",
                 "dp_pairs", "dp_cells", "trim_collapsed", "doubling_rounds"):

@@ -99,21 +99,27 @@ def q_ann_banded_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("id"),
     )
     und = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
-    cand = und.select(
-        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
-    ).unionByName(
-        und.select(F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id"))
-    )
     emb = e.select("vec_id", "embedding")
-    scored = (
-        cand.join(emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")), "query_id")
-        .join(emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")), "neighbor_id")
+    # score each undirected pair ONCE (cosine is symmetric and the dominant
+    # per-candidate cost), then mirror the scored rows for the per-query window
+    scored_und = (
+        und.join(emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")), "id_a")
+        .join(emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")), "id_b")
         .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q"), F.col("nv")), 6).alias("cos_sim"),
+            "id_a", "id_b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim")
         )
     )
+    # explode (not union) mirrors each scored row in the SAME plan branch —
+    # a self-union would recompute the cosine join once per direction
+    scored = scored_und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")),
+                F.struct(F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id")),
+            )
+        ).alias("d"),
+        "cos_sim",
+    ).select("d.query_id", "d.neighbor_id", "cos_sim")
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return scored.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
 

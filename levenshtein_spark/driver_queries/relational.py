@@ -139,7 +139,9 @@ def q_similarity_join_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def lev_sim(a, b):
-        m = F.greatest(F.length(a), F.length(b))
+        # octet_length: the kernel counts byte edits and the DuckDB twin
+        # uses strlen (bytes) — char lengths would diverge on non-ASCII
+        m = F.greatest(F.octet_length(a), F.octet_length(b))
         k = F.floor(F.lit(_ONE_MINUS_P) * m).cast("long")
         dist = bounded_edit_dist(a, b, k)
         return F.when(m == 0, F.lit(1.0)).otherwise(

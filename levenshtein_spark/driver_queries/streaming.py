@@ -64,7 +64,9 @@ def q_streaming_fuzzy_link(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_fuzzy_link did not drain within 300s")
     return spark.table(_SINK).select(
         "doc_id", F.col("ref_ptext"), F.col("dist").cast("long").alias("dist")
     )

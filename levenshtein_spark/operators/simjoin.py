@@ -64,8 +64,11 @@ def similarity_self_join(
         def sim_fn(a, b):  # noqa: F811 - default binding
             return similarity_t(a, b, p)
 
+    # byte length, not char length: the kernel and the similarity formula
+    # are byte-based (ReadMe.md:50-51), and the ratio bound must hold in
+    # the same unit the distance is measured in
     slim = records.select(
-        F.col(id_col).alias("id"), F.length(F.col(text_col)).alias("__len")
+        F.col(id_col).alias("id"), F.octet_length(F.col(text_col)).alias("__len")
     )
     blocks = slim.select(
         F.explode(log_length_bands(F.col("__len"), p)).alias("block_key"), "id"

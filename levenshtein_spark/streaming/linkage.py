@@ -129,17 +129,37 @@ def stream_incremental_link(
             return
         ids, texts = state.get if state.exists else ([], [])
         ids, texts = list(ids), list(texts)
+        # concat + sort ONCE per micro-batch: the iterator yields one pdf
+        # per Arrow chunk, and sorting per chunk would make edge directions
+        # depend on chunk boundaries instead of ids
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(id_col)
+        new_ids = [int(x) for x in batch[id_col]]
+        # keep None as None — the kernel's reference NULL semantics apply
+        new_texts = [None if pd.isna(t) else str(t) for t in batch[text_col]]
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(id_col)
-            for rid, text in zip(pdf[id_col], pdf[text_col]):
-                if ids:
-                    d = batch_edit_distance([text] * len(ids), texts, k=k)
-                    for mid, dist in zip(ids, d):
-                        if dist <= k:
-                            rows.append((block_key, int(rid), int(mid), int(dist)))
-                ids.append(int(rid))
-                texts.append(str(text))
+        # one batched kernel call: new arrivals x state (cross product)
+        if ids and new_ids:
+            a = [t for t in new_texts for _ in ids]
+            b = texts * len(new_ids)
+            d = batch_edit_distance(a, b, k=k)
+            pos = 0
+            for rid in new_ids:
+                for mid in ids:
+                    if d[pos] <= k:
+                        rows.append((block_key, rid, int(mid), int(d[pos])))
+                    pos += 1
+        # one batched call: new vs earlier-in-batch (triangular)
+        if len(new_ids) > 1:
+            ia = [i for i in range(1, len(new_ids)) for _ in range(i)]
+            ib = [j for i in range(1, len(new_ids)) for j in range(i)]
+            d = batch_edit_distance(
+                [new_texts[i] for i in ia], [new_texts[j] for j in ib], k=k
+            )
+            for p, (i, j) in enumerate(zip(ia, ib)):
+                if d[p] <= k:
+                    rows.append((block_key, new_ids[i], new_ids[j], int(d[p])))
+        ids.extend(new_ids)
+        texts.extend(new_texts)
         if len(ids) > max_state_rows:
             ids = ids[-max_state_rows:]
             texts = texts[-max_state_rows:]

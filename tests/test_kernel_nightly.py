@@ -42,7 +42,11 @@ def _expected(d_full: np.ndarray, a: list, b: list, k: int) -> np.ndarray:
 def test_reference_scale_differential(kind):
     """10^5 seeded pairs per edit type, kernel vs independent full-matrix
     batch oracle, at caps {2, 5, 16} (+ the unbounded path every 4th chunk)."""
-    rng = np.random.default_rng(hash(kind) % (2**32))
+    import zlib
+
+    # stable seed (Python's hash() is salted per process — a failure found
+    # with it could never be reproduced)
+    rng = np.random.default_rng(zlib.crc32(kind.encode()))
     failures = []
     for c0 in range(0, N_PAIRS, CHUNK):
         pairs = [
