@@ -13,5 +13,15 @@ from levenshtein_spark.kernel import (
     batch_similarity,
 )
 
-__all__ = ["batch_edit_distance", "batch_similarity"]
-__version__ = "0.1.0"
+
+def register_sql_functions(spark, legacy: bool = True):
+    """Expose the reference UDF catalog (and legacy names) to ``spark.sql``
+    — see functions/register.py. Lazy import so the package stays importable
+    without a SparkSession."""
+    from levenshtein_spark.functions.register import register_all
+
+    return register_all(spark, legacy=legacy)
+
+
+__all__ = ["batch_edit_distance", "batch_similarity", "register_sql_functions"]
+__version__ = "0.2.0"
