@@ -52,12 +52,59 @@ def with_block_keys(normalized: DataFrame, **kw) -> DataFrame:
     return normalized.withColumn("block_keys", block_keys_col(**kw))
 
 
-def exploded_blocks(normalized: DataFrame, **kw) -> DataFrame:
+def exploded_blocks(
+    normalized: DataFrame,
+    len_band: int = DEFAULT_LEN_BAND,
+    num_hashes: int = DEFAULT_MINHASH,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
     """Slim (block_key, id) — one row per (row, key).
 
     Deliberately payload-free: the pair-generation shuffles are the biggest
     data movers in the pipeline, and scoring re-attaches payload from the
-    per-id normalized table (operators.pairs.attach_pair_payload)."""
-    return with_block_keys(normalized, **kw).select(
-        F.explode("block_keys").alias("block_key"), "id"
+    per-id normalized table (operators.pairs.attach_pair_payload).
+
+    Same key math as ``block_keys_col`` (the oracle mirrors it unchanged),
+    but the MinHash part runs as explode → flat codegen md5 columns →
+    map-side-combining groupBy min: nested higher-order functions are
+    interpreted per element and Catalyst re-inlines the signature array into
+    every band key, which made the expression form the dominant cost of the
+    blocks stage.
+    """
+    g1 = F.floor(F.col("content_len") / len_band)
+    g2 = F.floor((F.col("content_len") + len_band // 2) / len_band)
+    len_keys = normalized.select(
+        F.explode(
+            F.array(
+                F.concat_ws("|", F.lit("len0"), F.col("lang"), g1.cast("string")),
+                F.concat_ws("|", F.lit("len1"), F.col("lang"), g2.cast("string")),
+            )
+        ).alias("block_key"),
+        "id",
     )
+
+    rows = num_hashes // bands
+    toks = normalized.select("id", "lang", F.explode_outer("path_tokens").alias("t"))
+    hashed = toks.select(
+        "id",
+        "lang",
+        *[
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}\x1f"), F.col("t"))), 1, 15), 16, 10)
+            .cast("long")
+            .alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy("id", "lang").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    mh_keys = []
+    for b in range(bands):
+        part = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+        mh_keys.append(
+            F.concat(
+                F.lit("mh|"), F.col("lang"), F.lit(f"|b{b}:"), F.md5(F.concat_ws("_", *part))
+            )
+        )
+    mh = sig.select(F.explode(F.array(*mh_keys)).alias("block_key"), "id")
+    return len_keys.unionByName(mh)
