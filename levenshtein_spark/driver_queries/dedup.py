@@ -111,11 +111,15 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-document 60-bit SimHash fingerprint (portable md5 hash family)."""
+    """Per-document 60-bit SimHash fingerprint (portable md5 hash family;
+    flat codegen formulation — see functions.hashing.simhash_table)."""
     d = tbl(spark, sf, "documents")
+    from levenshtein_spark.functions.hashing import simhash_table
     from levenshtein_spark.functions.text import word_tokens
 
-    return d.select("doc_id", simhash64(word_tokens(F.col("text"))).alias("simhash"))
+    return simhash_table(d, "doc_id", word_tokens(F.col("text"))).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -131,13 +135,12 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     pipeline; fingerprints are re-attached per id afterwards.
     """
     d = tbl(spark, sf, "documents")
+    from levenshtein_spark.functions.hashing import simhash_table
     from levenshtein_spark.functions.text import word_tokens
 
     # persisted: consumed by the blocks self-join (census + both sides) and
     # again as the per-id fingerprint payload; simhash is costly to recompute
-    sh = d.select(
-        F.col("doc_id").alias("id"), simhash64(word_tokens(F.col("text"))).alias("simhash")
-    ).persist()
+    sh = simhash_table(d, "doc_id", word_tokens(F.col("text"))).persist()
     blocks = sh.select(
         F.explode(simhash_segment_keys("simhash", 60, _HAM_MAX + 1, 1)).alias("block_key"),
         "id",
