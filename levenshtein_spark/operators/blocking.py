@@ -71,23 +71,21 @@ def exploded_blocks(
     every band key, which made the expression form the dominant cost of the
     blocks stage.
     """
-    g1 = F.floor(F.col("content_len") / len_band)
-    g2 = F.floor((F.col("content_len") + len_band // 2) / len_band)
-    len_keys = normalized.select(
-        F.explode(
-            F.array(
-                F.concat_ws("|", F.lit("len0"), F.col("lang"), g1.cast("string")),
-                F.concat_ws("|", F.lit("len1"), F.col("lang"), g2.cast("string")),
-            )
-        ).alias("block_key"),
-        "id",
-    )
-
     rows = num_hashes // bands
-    toks = normalized.select("id", "lang", F.explode_outer("path_tokens").alias("t"))
+    g1 = F.floor(F.col("content_len") / len_band).cast("string")
+    g2 = F.floor((F.col("content_len") + len_band // 2) / len_band).cast("string")
+    # single scan: the length-grid values ride through the MinHash groupBy as
+    # grouping columns (functionally dependent on id), so one pass over the
+    # input and one shuffle produce all six keys
+    toks = normalized.select(
+        "id", "lang", g1.alias("g1"), g2.alias("g2"),
+        F.explode_outer("path_tokens").alias("t"),
+    )
     hashed = toks.select(
         "id",
         "lang",
+        "g1",
+        "g2",
         *[
             F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}\x1f"), F.col("t"))), 1, 15), 16, 10)
             .cast("long")
@@ -95,16 +93,18 @@ def exploded_blocks(
             for i in range(num_hashes)
         ],
     )
-    sig = hashed.groupBy("id", "lang").agg(
+    sig = hashed.groupBy("id", "lang", "g1", "g2").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
-    mh_keys = []
+    keys = [
+        F.concat_ws("|", F.lit("len0"), F.col("lang"), F.col("g1")),
+        F.concat_ws("|", F.lit("len1"), F.col("lang"), F.col("g2")),
+    ]
     for b in range(bands):
         part = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
-        mh_keys.append(
+        keys.append(
             F.concat(
                 F.lit("mh|"), F.col("lang"), F.lit(f"|b{b}:"), F.md5(F.concat_ws("_", *part))
             )
         )
-    mh = sig.select(F.explode(F.array(*mh_keys)).alias("block_key"), "id")
-    return len_keys.unionByName(mh)
+    return sig.select(F.explode(F.array(*keys)).alias("block_key"), "id")
