@@ -20,9 +20,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from levenshtein_spark.driver_queries import tbl
 from levenshtein_spark.functions.hashing import (
     hamming64,
-    minhash_band_keys,
-    minhash_signature,
-    simhash64,
     simhash_segment_keys,
 )
 from levenshtein_spark.functions.text import char_shingles, word_bigrams
