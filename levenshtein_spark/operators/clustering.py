@@ -6,9 +6,11 @@ rounds, no GraphFrames/MLlib dependency, no ``collect_list`` (the per-node
 neighbor minimum comes from a groupBy().min() + join, so a hot node never
 materializes its neighbor list in one task).
 
-Each round is two shuffles (groupBy + join per phase); lineage is truncated
-every iteration with ``localCheckpoint`` so the plan doesn't grow with the
-iteration count. Convergence = the canonical edge set is unchanged
+Each star phase is a groupBy + join; the round's edge set is deduplicated
+once (at the end of small-star) rather than per phase, and
+``steps_per_check`` rounds compose lazily into a single lineage-truncating
+materialization + convergence job, so the loop pays one Spark job per check
+instead of one per phase. Convergence = the canonical edge set is unchanged
 (count + order-insensitive hash), at which point every component is a star
 rooted at its minimum id.
 
@@ -23,16 +25,19 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def _canon(df: DataFrame, a: str, b: str) -> DataFrame:
-    """Undirected edge set in canonical (src < dst) form, no self-loops."""
-    return (
-        df.select(
-            F.least(F.col(a), F.col(b)).alias("src"),
-            F.greatest(F.col(a), F.col(b)).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+def _canon(df: DataFrame, a: str, b: str, dedup: bool = True) -> DataFrame:
+    """Undirected edge set in canonical (src < dst) form, no self-loops.
+
+    ``dedup=False`` skips the distinct(): both star phases are insensitive to
+    duplicate edges (groupBy().min() and the join fan-out dedup at the end of
+    the round), so deduping once per round instead of once per phase removes
+    a full shuffle from the loop body at every scale.
+    """
+    out = df.select(
+        F.least(F.col(a), F.col(b)).alias("src"),
+        F.greatest(F.col(a), F.col(b)).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return out.distinct() if dedup else out
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -42,7 +47,8 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = d.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.withColumn("m", F.least("mn", "u")).select("u", "m")
     out = d.join(mins, "u").where(F.col("v") > F.col("u")).select("v", "m")
-    return _canon(out, "v", "m")
+    # no dedup here: small-star dedups the round's output one shuffle later
+    return _canon(out, "v", "m", dedup=False)
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -64,7 +70,10 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50, checkpoint_dir: str | None = None
+    edges: DataFrame,
+    max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
+    steps_per_check: int = 1,
 ) -> DataFrame:
     """edge list (src, dst) → labels (id, cluster_id) for every edge endpoint.
 
@@ -98,9 +107,16 @@ def connected_components(
         return spark.createDataFrame([], "id string, cluster_id string")
 
     for rnd in range(1, max_iterations + 1):
-        # one materialization per round: the two phases compose lazily and
-        # the checkpoint truncates lineage before the next iteration
-        e = materialize(_small_star(_large_star(e)), rnd)
+        # ``steps_per_check`` star-rounds compose lazily into one
+        # materialization + one signature job. Measured on this host the
+        # deep composed plan costs more than the saved signature jobs, so
+        # the default stays 1; the knob remains for clusters where the
+        # convergence-check action (not stage setup) dominates. Extra
+        # rounds past convergence are no-ops on a star forest (both phases
+        # are idempotent there), so overshooting by one is safe.
+        for _ in range(steps_per_check):
+            e = _small_star(_large_star(e))
+        e = materialize(e, rnd)
         new_sig = _signature(e)
         if new_sig == sig:
             break
