@@ -18,6 +18,7 @@ def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict
         ann,
         catalog,
         dedup,
+        er_eval,
         linkage,
         multimodal,
         relational,
@@ -27,7 +28,7 @@ def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (catalog, linkage, dedup, text, ann, relational, multimodal, streaming):
+    for mod in (catalog, linkage, dedup, text, ann, relational, multimodal, streaming, er_eval):
         overlap = queries.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

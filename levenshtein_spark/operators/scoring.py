@@ -66,3 +66,48 @@ def edges(scored: DataFrame) -> DataFrame:
     return scored.where("is_match").select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
+
+
+def fellegi_sunter_weight(
+    fields: list[tuple[F.Column, float, float]], precision: int = 6
+) -> F.Column:
+    """Fellegi–Sunter (JASA'69) composite match weight as one codegen column.
+
+    ``fields`` is ``[(agree_condition, m, u), ...]`` where ``m`` is the
+    field's agreement probability among true matches and ``u`` among
+    non-matches. A field contributes ``log2(m/u)`` on agreement and
+    ``log2((1-m)/(1-u))`` on disagreement.
+
+    The log-weights depend only on the (m, u) **constants**, so they are
+    evaluated here in Python and injected as double literals: the per-pair
+    expression is a sum of CASE WHENs — whole-stage-codegen JVM arithmetic
+    with zero transcendental calls per row, and bit-identical to any oracle
+    that injects the same literals (no cross-engine log() parity risk).
+    Weights are rounded to ``precision`` decimals *per field* so the sum is
+    reproducible as plain decimal arithmetic in SQL twins.
+    """
+    import math
+
+    total: F.Column | None = None
+    for agree, m, u in fields:
+        if not (0.0 < m < 1.0 and 0.0 < u < 1.0):
+            raise ValueError(f"m/u must be in (0,1), got m={m} u={u}")
+        w_agree = round(math.log2(m / u), precision)
+        w_disagree = round(math.log2((1.0 - m) / (1.0 - u)), precision)
+        term = F.when(agree, F.lit(w_agree)).otherwise(F.lit(w_disagree))
+        total = term if total is None else total + term
+    if total is None:
+        raise ValueError("fields must be non-empty")
+    return total
+
+
+def fs_classify(
+    weight: F.Column, upper: float, lower: float
+) -> F.Column:
+    """Fellegi–Sunter three-way decision: ``match`` at/above ``upper``,
+    ``non_match`` below ``lower``, ``possible`` (clerical review) between."""
+    return (
+        F.when(weight >= upper, F.lit("match"))
+        .when(weight < lower, F.lit("non_match"))
+        .otherwise(F.lit("possible"))
+    )

@@ -1,0 +1,118 @@
+"""Sorted-neighborhood blocking + Fellegi–Sunter scoring operators.
+
+``global_rank`` is pinned against the single-partition ``row_number`` (the
+semantically obvious but unscalable formulation), ``sorted_neighborhood_pairs``
+against a brute-force position-difference cross product, and the FS weights
+against hand-computed log-likelihood sums — all on data crafted to cross
+partition and bucket boundaries.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from levenshtein_spark.operators.scoring import fellegi_sunter_weight, fs_classify
+from levenshtein_spark.operators.snm import global_rank, sorted_neighborhood_pairs
+
+
+def _names(n, seed):
+    rng = random.Random(seed)
+    # duplicate-heavy keys: rank determinism must come from the id tiebreak
+    return [(i, f"name{rng.randrange(n // 3):04d}") for i in range(n)]
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    rows = _names(200, seed=7)
+    df = spark.createDataFrame(rows, "id long, skey string")
+    expected = {
+        r.id: r.pos
+        for r in df.withColumn(
+            "pos", F.row_number().over(Window.orderBy("skey", "id")) - 1
+        ).collect()
+    }
+    for nparts in (1, 3, 8):
+        got = {
+            r.id: r.pos
+            for r in global_rank(df, ["skey", "id"], num_partitions=nparts).collect()
+        }
+        assert got == expected, f"num_partitions={nparts}"
+
+
+def test_snm_pairs_match_bruteforce(spark):
+    rows = _names(150, seed=11)
+    df = spark.createDataFrame(rows, "id long, skey string")
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    for w in (2, 4, 9):
+        expected = {
+            (order[i][0], order[j][0], j - i)
+            for i in range(len(order))
+            for j in range(i + 1, min(i + w, len(order)))
+        }
+        got = {
+            (r.id_a, r.id_b, r.gap)
+            for r in sorted_neighborhood_pairs(
+                df, ["skey", "id"], window=w, num_partitions=5
+            ).collect()
+        }
+        assert got == expected, f"window={w}"
+        # each pair exactly once (the bucket replication never double-counts)
+        n = len(order)
+        assert len(got) == sum(n - g for g in range(1, w))
+
+
+def test_snm_window_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, skey string")
+    try:
+        sorted_neighborhood_pairs(df, ["skey", "id"], window=1)
+        raise AssertionError("window=1 must raise")
+    except ValueError:
+        pass
+
+
+def test_fellegi_sunter_weight_values(spark):
+    fields = [
+        (F.col("f1"), 0.9, 0.1),
+        (F.col("f2"), 0.8, 0.25),
+    ]
+    w1a, w1d = round(math.log2(0.9 / 0.1), 6), round(math.log2(0.1 / 0.9), 6)
+    w2a, w2d = round(math.log2(0.8 / 0.25), 6), round(math.log2(0.2 / 0.75), 6)
+    df = spark.createDataFrame(
+        [(a, b) for a in (True, False) for b in (True, False)], "f1 boolean, f2 boolean"
+    )
+    out = {
+        (r.f1, r.f2): r.w
+        for r in df.withColumn("w", fellegi_sunter_weight(fields)).collect()
+    }
+    for (a, b), w in out.items():
+        expect = (w1a if a else w1d) + (w2a if b else w2d)
+        assert abs(w - expect) < 1e-12, (a, b)
+
+
+def test_fs_classify_boundaries(spark):
+    df = spark.createDataFrame(
+        [(8.0,), (7.999999,), (0.0,), (-0.000001,)], "w double"
+    )
+    got = [
+        r.c
+        for r in df.select(fs_classify(F.col("w"), 8.0, 0.0).alias("c")).orderBy(
+            F.col("w").desc()
+        ).collect()
+    ]
+    assert got == ["match", "possible", "possible", "non_match"]
+
+
+def test_fs_weight_validation(spark):
+    try:
+        fellegi_sunter_weight([])
+        raise AssertionError("empty fields must raise")
+    except ValueError:
+        pass
+    try:
+        fellegi_sunter_weight([(F.lit(True), 1.0, 0.5)])
+        raise AssertionError("m=1.0 must raise")
+    except ValueError:
+        pass
