@@ -81,9 +81,19 @@ def main() -> None:
         for i, s in enumerate(samples):
             detail[f"{name}_run{i}"] = s
 
-    # q1: full ER pipeline on customers
-    n_clusters = clock("link_pipeline", lambda: flagship_clusters(spark, sf_dir).count())
-    detail["clusters"] = float(n_clusters)
+    # q1: full ER pipeline on customers — best-of-2 like the floors (the
+    # host swings up to 50% between identical runs, which poisoned r01's
+    # record); spark.catalog.clearCache() between runs drops every persisted
+    # intermediate so run1 is a FULL re-run (plan-equality cache hits would
+    # otherwise make it measure nothing), warm-JVM only.
+    n_clusters = [0]
+
+    def run_pipeline() -> None:
+        spark.catalog.clearCache()
+        n_clusters[0] = flagship_clusters(spark, sf_dir).count()
+
+    clock_min("link_pipeline", run_pipeline)
+    detail["clusters"] = float(n_clusters[0])
 
     # q2: documents blocking + salted candidate pairs (cache pairs for q3)
     norm = normalize(docs_as_code_files(spark, sf_dir), prefix_len=_PREFIX)
