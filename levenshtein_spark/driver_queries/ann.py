@@ -32,6 +32,11 @@ _PLANES = 8
 # callers size it from their N via functions.vectors.banded_params.
 _B_TABLES = 4
 _B_PLANES = 6
+# IVF shape: K coarse cells, n_probe cells searched per query. At scale K ~
+# sqrt(N) keeps assignment (O(N*K) map-side work) and per-cell search
+# (O(N/K) rows) balanced; frozen small here for the static oracle.
+_IVF_K = 16
+_IVF_NPROBE = 4
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -124,6 +129,74 @@ def q_ann_banded_topk(spark: SparkSession, sf: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (inverted-file) top-k: the second classic ANN scale family next
+    to LSH — partition space into K coarse cells around a codebook, search
+    only the ``n_probe`` cells nearest each query.
+
+    The codebook here is deterministic (the K lowest vec_ids) instead of
+    k-means so the DuckDB twin reproduces it exactly; swapping in trained
+    centroids changes only the ``cent`` DataFrame. Scale shape: the codebook
+    broadcasts (K rows); cell assignment is a broadcast join + map-side-
+    combining argmax groupBy (the standard O(N·K) quantization cost, no
+    shuffle wider than N rows); the probe step touches n_probe/K of the
+    corpus per query instead of all of it.
+    """
+    e = tbl(spark, sf, "embeddings")
+    cent = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    probes = e.where(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    return ivf_topk(e, probes, cent, n_probe=_IVF_NPROBE, top_k=_TOP_K)
+
+
+def ivf_topk(
+    e: DataFrame, probes: DataFrame, cent: DataFrame, n_probe: int, top_k: int
+) -> DataFrame:
+    """IVF search core: ``e(vec_id, embedding)``, ``probes(query_id, q)``,
+    ``cent(cid, cvec)`` → top-k per query among the ``n_probe`` probed cells."""
+    # cell assignment: argmax over centroids via max(struct) — ties break to
+    # the lower cid (cos identical ⇒ -cid larger for smaller cid)
+    scored_cells = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        cosine(F.col("embedding"), F.col("cvec")).alias("ccos"),
+    )
+    assign = (
+        scored_cells.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select("vec_id", (-F.col("m.ncid")).alias("cell"))
+    )
+    # probe lists for the query set: the n_probe nearest cells per query
+    pw = Window.partitionBy("query_id").orderBy(F.col("pcos").desc(), "cid")
+    probe_cells = (
+        probes.crossJoin(F.broadcast(cent))
+        .select("query_id", "q", "cid", cosine(F.col("q"), F.col("cvec")).alias("pcos"))
+        .withColumn("prn", F.row_number().over(pw))
+        .where(F.col("prn") <= n_probe)
+        .select("query_id", "q", F.col("cid").alias("cell"))
+    )
+    # search the probed cells only: members via the inverted file (assign)
+    members = assign.join(e.select("vec_id", "embedding"), "vec_id")
+    cands = (
+        probe_cells.join(members, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: cosine >= 0.25 among banded
     multi-table LSH candidates (the dedup family's vector-space member —
@@ -159,6 +232,7 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_bucket_topk": q_ann_bucket_topk,
     "ann_banded_topk": q_ann_banded_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding": q_dedup_embedding,
 }
 
@@ -261,6 +335,46 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn = 1
+""",
+    "ann_ivf_topk": f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_dd_cosine('e.embedding', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probe_cells AS (
+  SELECT query_id, q, cell FROM (
+    SELECT p.vec_id AS query_id, p.embedding AS q, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY {_dd_cosine('p.embedding', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM embeddings p CROSS JOIN cent c
+    WHERE p.vec_id < {_N_PROBES}
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+cands AS (
+  SELECT pc.query_id, e.vec_id AS neighbor_id,
+         round({_dd_cosine('pc.q', 'e.embedding')}, 6) AS cos_sim
+  FROM probe_cells pc
+  JOIN assign a ON a.cell = pc.cell
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE e.vec_id <> pc.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cands
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_TOP_K}
 """,
     "ann_banded_topk": f"""
 WITH keyed AS ({_dd_banded_keys_sql()}),

@@ -97,3 +97,44 @@ def test_banded_recall_planted_neighbors(spark, emb):
     hits = sum(1 for q, src in probe_of.items() if (q, src) in found)
     recall = hits / n_plant
     assert recall >= 0.75, f"planted near-dup recall {recall:.3f}"
+
+
+def test_ivf_structure_and_planted_recall(spark, emb):
+    """IVF invariants + recall on planted near-duplicates.
+
+    Structural: every vector lands in exactly one cell, each query's own cell
+    is always among its probes (the nearest centroid IS the assigned cell),
+    so a same-cell true neighbor can never be missed. Recall: planted
+    near-dups (cos ~0.95) keep their source's cell with high probability, so
+    probing the query's nearest cells recovers the planted top-1.
+    """
+    from levenshtein_spark.driver_queries.ann import ivf_topk
+
+    rows = emb.collect()
+    ids = [int(x.vec_id) for x in rows]
+    M = np.array([x.embedding for x in rows], dtype=np.float64)
+    rng = np.random.default_rng(13)
+    n_plant = 60
+    src_idx = rng.choice(len(ids), n_plant, replace=False)
+    planted = []
+    for j, si in enumerate(src_idx):
+        v = M[si]
+        noise = rng.standard_normal(v.shape)
+        noise -= (noise @ v) / (v @ v) * v
+        w = v + noise * (np.linalg.norm(v) / np.linalg.norm(noise)) * 0.33
+        planted.append((100000 + j, [float(x) for x in w]))
+    src_of = {100000 + j: ids[si] for j, si in enumerate(src_idx)}
+
+    base = [(i, [float(x) for x in M[k]]) for k, i in enumerate(ids)]
+    e = spark.createDataFrame(base + planted, "vec_id long, embedding array<double>")
+    cent = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    probes = e.where(F.col("vec_id") >= 100000).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    got = ivf_topk(e, probes, cent, n_probe=4, top_k=1).collect()
+    top1 = {r.query_id: r.neighbor_id for r in got}
+    hits = sum(1 for q, src in src_of.items() if top1.get(q) == src)
+    recall = hits / n_plant
+    assert recall >= 0.7, f"planted IVF top-1 recall {recall:.3f}"
