@@ -84,8 +84,12 @@ def sorted_neighborhood_pairs(
     if window < 2:
         raise ValueError("window must be >= 2")
     width = window - 1
-    ranked = global_rank(df, order_cols, num_partitions=num_partitions).select(
-        F.col(id_col).alias("_rid"), "pos"
+    # persist the slim (id, pos) projection: both join sides consume it, and
+    # without the cache each side would repeat the rank's window sort
+    ranked = (
+        global_rank(df, order_cols, num_partitions=num_partitions)
+        .select(F.col(id_col).alias("_rid"), "pos")
+        .persist()
     )
     bucket = F.floor(F.col("pos") / width)
     left = ranked.select(
