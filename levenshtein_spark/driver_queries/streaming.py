@@ -72,9 +72,102 @@ def q_streaming_fuzzy_link(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-QUERIES = {"streaming_fuzzy_link": q_streaming_fuzzy_link}
+_INCR_SINK = "streaming_incremental_link_mem"
+_INCR_SRC = "/tmp/levenshtein_spark_incr_src"
+
+
+def q_streaming_incremental_link(spark: SparkSession, sf: str) -> DataFrame:
+    """The ``applyInPandasWithState`` custom stateful operator, driver-checked.
+
+    Within-stream fuzzy dedup has a closed batch form in the single-micro-
+    batch regime (availableNow over one coalesced file): every same-block
+    pair (later_id, earlier_id) with dist <= k, because arrivals inside a
+    micro-batch are scored triangularly in id order. The cross-micro-batch
+    behavior (state accumulation, timeout, FIFO cap) is pinned in
+    tests/test_streaming.py; this query pins the linkage math itself against
+    a DuckDB twin. Planted rows (ids 100000+i, first two prefix chars
+    swapped) guarantee a non-vacuous match set on top of natural near-dups.
+    """
+    docs = tbl(spark, sf, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, _PLEN).alias("ptext")
+    )
+    mutated = F.concat(
+        F.substring("ptext", 2, 1), F.substring("ptext", 1, 1), F.substring("ptext", 3, _PLEN - 2)
+    )
+    planted = docs.where(F.col("doc_id") < _N_REF).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "lang", mutated.alias("ptext")
+    )
+    src = docs.unionByName(planted)
+    # one file -> one availableNow micro-batch -> deterministic id-ordered
+    # triangular linkage (multi-batch arrival order would flip edge directions)
+    src.coalesce(1).write.mode("overwrite").parquet(_INCR_SRC)
+
+    from levenshtein_spark.streaming.linkage import stream_incremental_link
+
+    stream = spark.readStream.schema(src.schema).format("parquet").load(_INCR_SRC)
+    # state_timeout_ms=None: pending processing-time timers would keep an
+    # availableNow run scheduling empty batches forever (see the operator's
+    # docstring); a bounded replay needs the FIFO cap only
+    out = stream_incremental_link(
+        stream, key_col="lang", id_col="doc_id", text_col="ptext", k=_K,
+        state_timeout_ms=None,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_INCR_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_incremental_link did not drain within 300s")
+    return spark.table(_INCR_SINK).select(
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("match_id").cast("long").alias("match_id"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+QUERIES = {
+    "streaming_fuzzy_link": q_streaming_fuzzy_link,
+    "streaming_incremental_link": q_streaming_incremental_link,
+}
+
+def _incremental_oracle() -> str:
+    from levenshtein_spark.oracles import osa_cte
+
+    mut = (
+        f"substr(pt, 2, 1) || substr(pt, 1, 1) || substr(pt, 3, {_PLEN - 2})"
+    )
+    pairs = f"""
+SELECT row_number() OVER (ORDER BY id_a, id_b) AS pid, lang, id_a, id_b, s1, s2 FROM (
+  WITH src AS (
+    SELECT doc_id, lang, substr(text, 1, {_PLEN}) AS pt FROM documents
+  ),
+  uni AS (
+    SELECT doc_id, lang, pt AS ptext FROM src
+    UNION ALL
+    SELECT doc_id + 100000, lang, {mut} FROM src WHERE doc_id < {_N_REF}
+  )
+  SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b, a.ptext AS s1, b.ptext AS s2
+  FROM uni a JOIN uni b ON a.lang = b.lang AND a.doc_id > b.doc_id
+  -- lossless prefilter: one OSA transposition costs two Levenshtein subs,
+  -- so osa <= k implies levenshtein <= 2k; keeps the recursive CTE tiny
+  WHERE levenshtein(a.ptext, b.ptext) <= {2 * _K}
+)
+"""
+    return f"""
+WITH RECURSIVE {osa_cte(pairs)}
+SELECT p.lang, p.id_a AS doc_id, p.id_b AS match_id, CAST(r.osa AS BIGINT) AS dist
+FROM osa_pairs p JOIN osa_result r USING (pid)
+WHERE r.osa <= {_K}
+"""
+
 
 ORACLES = {
+    "streaming_incremental_link": _incremental_oracle(),
     "streaming_fuzzy_link": f"""
 WITH ref AS (
   SELECT lang,

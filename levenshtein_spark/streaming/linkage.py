@@ -92,7 +92,7 @@ def stream_incremental_link(
     id_col: str,
     text_col: str,
     k: int,
-    state_timeout_ms: int = 3_600_000,
+    state_timeout_ms: int | None = 3_600_000,
     max_state_rows: int = 10_000,
 ) -> DataFrame:
     """Custom stateful operator: link each arriving record against every
@@ -110,6 +110,13 @@ def stream_incremental_link(
     closure remains the batch pipeline's job; this operator is the low-
     latency frontier). Arrivals inside one micro-batch are ordered by id so
     the output is deterministic for a given batching.
+
+    ``state_timeout_ms=None`` disables the timer (FIFO cap only). Required
+    for finite ``availableNow`` runs: with ProcessingTimeTimeout, Spark
+    keeps scheduling no-data micro-batches while any state holds a pending
+    timer, so an availableNow query never reaches termination (observed on
+    4.1: endless 0-row batches after the data batch). Continuous production
+    streams keep the default timeout; bounded replays/backfills pass None.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -164,14 +171,20 @@ def stream_incremental_link(
             ids = ids[-max_state_rows:]
             texts = texts[-max_state_rows:]
         state.update((ids, texts))
-        state.setTimeoutDuration(state_timeout_ms)
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
         if rows:
             yield pd.DataFrame(rows, columns=[key_col, id_col, "match_id", "dist"])
 
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if state_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return stream.groupBy(key_col).applyInPandasWithState(
         link_group,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout_conf,
     )

@@ -92,8 +92,12 @@ def test_stream_incremental_link(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
+    # state_timeout_ms=None: with a pending processing-time timer an
+    # availableNow query schedules empty batches forever and never
+    # terminates (this await used to burn its full 120s silently)
     out = stream_incremental_link(
-        stream, key_col="block", id_col="id", text_col="content", k=2
+        stream, key_col="block", id_col="id", text_col="content", k=2,
+        state_timeout_ms=None,
     )
     q = (
         out.writeStream.format("memory")
@@ -102,7 +106,7 @@ def test_stream_incremental_link(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow run must self-terminate"
     got = {
         (r.id, r.match_id, r.dist)
         for r in spark.sql("select * from inc_link").collect()
