@@ -112,16 +112,26 @@ def q_streaming_incremental_link(spark: SparkSession, sf: str) -> DataFrame:
         stream, key_col="lang", id_col="doc_id", text_col="ptext", k=_K,
         state_timeout_ms=None,
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(_INCR_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("streaming_incremental_link did not drain within 300s")
+    # State-store count is fixed by shuffle width at the first batch of a
+    # checkpoint: 5 lang blocks over 64 partitions would leave ~59 empty
+    # stores paying checkpoint I/O every batch. Size the width to the key
+    # cardinality for this bounded run (a production job tunes this
+    # per-stream the same way), restore the session default after.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(_INCR_SINK)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_incremental_link did not drain within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(_INCR_SINK).select(
         "lang",
         F.col("doc_id").cast("long").alias("doc_id"),
