@@ -52,3 +52,53 @@ class Warehouse:
         if self.catalog:
             return self.spark.read.table(f"{self.catalog}.{name}")
         return self.spark.read.parquet(self._path(name))
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str],
+        num_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Write ``name`` hash-bucketed by ``bucket_cols`` — the co-located-
+        join layout: a table bucketed on its join key exposes
+        ``HashPartitioning(bucket_cols, num_buckets)`` to the planner, so
+        joins and aggregations keyed on it skip their Exchange entirely.
+        Write the per-id record table and the pair table bucketed on the
+        same key and ``attach_pair_payload``-style joins become
+        shuffle-free on the bucketed sides (verified against the physical
+        plan in tests/test_warehouse.py).
+
+        Iceberg path: the ``bucket(n, col)`` partition transform (hidden
+        partitioning). Parquet path: a Spark bucketed table — metadata lives
+        in the session catalog, so reads must go through ``read_bucketed``
+        (``spark.table``), not raw paths; data still lands under the
+        warehouse root.
+        """
+        if self.catalog:
+            from pyspark.sql.functions import bucket, col
+
+            (
+                df.writeTo(f"{self.catalog}.{name}")
+                .partitionedBy(bucket(num_buckets, col(bucket_cols[0])))
+                .createOrReplace()
+            )
+            return
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", self._path(name))
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(name)
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read a table written by ``write_bucketed`` WITH its bucket
+        metadata (a raw path read would see plain parquet and re-shuffle)."""
+        if self.catalog:
+            return self.spark.read.table(f"{self.catalog}.{name}")
+        return self.spark.table(name)
