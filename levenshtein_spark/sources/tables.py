@@ -74,7 +74,12 @@ class Warehouse:
         partitioning). Parquet path: a Spark bucketed table — metadata lives
         in the session catalog, so reads must go through ``read_bucketed``
         (``spark.table``), not raw paths; data still lands under the
-        warehouse root.
+        warehouse root. NOTE: without a persistent metastore (Hive/Iceberg)
+        the parquet-path bucket metadata dies with the session — a resumed
+        job in a new session sees plain parquet (correct data, no co-location).
+        The resumable pipeline therefore keeps its stage checkpoints on
+        ``write``/``read``; bucketing is the intra-job layout for the widest
+        joins, and survives restarts only under a real catalog.
         """
         if self.catalog:
             from pyspark.sql.functions import bucket, col
