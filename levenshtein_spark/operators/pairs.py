@@ -38,41 +38,70 @@ def candidate_pairs(
     blocks: DataFrame,
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
     num_salts: int = DEFAULT_SALTS,
+    adaptive_target_rows: int | None = None,
 ) -> DataFrame:
     """exploded blocks (block_key, id, …) → distinct slim candidate pairs.
 
     Output: ``id_a < id_b``, plus ``n_keys`` = number of block keys that
     generated the pair (a useful blocking-quality signal).
+
+    ``adaptive_target_rows`` switches the hot path from the fixed
+    ``num_salts`` to **per-block** salt counts sized from the census:
+    ``S_b = ceil(size_b / target)`` (capped at 256), so every salted task
+    sees ~``target`` left rows regardless of the block-size distribution —
+    the knob that keeps working when one block is 100× the next, where any
+    fixed S either under-splits the giant or over-replicates the merely-warm.
+    Salting never changes the produced pair SET (only its partitioning), so
+    both modes are interchangeable for correctness.
     """
     slim = blocks.select("block_key", "id")
     sizes = slim.groupBy("block_key").count()
     # The set of hot keys is tiny (they are, by definition, the outliers):
-    # broadcast it back onto the rows.
-    hot_keys = sizes.where(F.col("count") > hot_threshold).select("block_key")
-    tagged = slim.join(
-        F.broadcast(hot_keys.withColumn("is_hot", F.lit(True))), "block_key", "left"
+    # broadcast it back onto the rows, carrying the per-block salt count in
+    # adaptive mode.
+    if adaptive_target_rows is not None:
+        n_salts_col = F.least(
+            F.ceil(F.col("count") / F.lit(adaptive_target_rows)), F.lit(256)
+        ).cast("int")
+    else:
+        n_salts_col = F.lit(num_salts)
+    hot_keys = (
+        sizes.where(F.col("count") > hot_threshold)
+        .select("block_key", n_salts_col.alias("n_salts"))
     )
+    tagged = slim.join(F.broadcast(hot_keys), "block_key", "left")
 
-    normal = tagged.where(F.col("is_hot").isNull()).drop("is_hot")
-    hot = tagged.where(F.col("is_hot")).drop("is_hot")
+    normal = tagged.where(F.col("n_salts").isNull()).drop("n_salts")
+    hot = tagged.where(F.col("n_salts").isNotNull())
 
     # Symmetric self-join: keep the canonical order.
     a = normal.withColumnRenamed("id", "id_a")
     b = normal.withColumnRenamed("id", "id_b")
     pn = a.join(b, "block_key").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
 
-    # Triangle salted join for hot blocks.
-    hot_s = hot.withColumn("salt", F.pmod(F.xxhash64("id"), F.lit(num_salts)).cast("int"))
+    # Triangle salted join for hot blocks (S = that block's n_salts).
+    hot_s = hot.withColumn("salt", F.pmod(F.xxhash64("id"), F.col("n_salts")).cast("int"))
     left = (
-        hot_s.withColumn("salt_t", F.explode(F.sequence(F.col("salt"), F.lit(num_salts - 1))))
-        .drop("salt")
+        hot_s.withColumn("salt_t", F.explode(F.sequence(F.col("salt"), F.col("n_salts") - 1)))
+        .withColumnRenamed("salt", "salt_l")
+        .drop("n_salts")
         .withColumnRenamed("id", "id_l")
     )
-    right = hot_s.withColumnRenamed("salt", "salt_t").withColumnRenamed("id", "id_r")
-    # A pair with salt_l < salt_r only ever meets with `l` on the left — its
-    # side order is arbitrary, so canonicalize by min/max, don't filter.
+    right = (
+        hot_s.drop("n_salts")
+        .withColumnRenamed("salt", "salt_t")
+        .withColumnRenamed("id", "id_r")
+    )
+    # Exactly-once per (block, pair): with salt_l < salt_r only the
+    # smaller-salt row's replica ladder reaches the other side, but EQUAL
+    # salts meet in both directions — break that tie by id order, or the
+    # pair double-counts into n_keys (latent in r01: the fixed driver
+    # thresholds never salted a block while n_keys was being hash-checked).
     ph = (
         left.join(right, ["block_key", "salt_t"])
+        .where(
+            (F.col("salt_l") != F.col("salt_t")) | (F.col("id_l") < F.col("id_r"))
+        )
         .where(F.col("id_l") != F.col("id_r"))
         .select(
             F.least("id_l", "id_r").alias("id_a"),

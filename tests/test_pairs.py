@@ -95,3 +95,31 @@ def test_fuzzy_join_two_tables(spark):
         for r in fuzzy_join(left, right, key_col="blk", text_col="txt", k=2).collect()
     }
     assert got == {(1, 10, 1), (3, 11, 1)}
+
+
+def test_adaptive_salting_is_lossless_and_sizes_per_block(spark):
+    """Adaptive mode: per-block S_b = ceil(size/target) must produce the
+    exact same (pair, n_keys) multiset as fixed salting and as no salting,
+    across blocks whose sizes differ by 30x (one fixed S cannot fit both)."""
+    rows = (
+        [(f"giant", i) for i in range(90)]
+        + [(f"warm", 1000 + i) for i in range(12)]
+        + [(f"cold", 2000 + i) for i in range(3)]
+    )
+    blocks = spark.createDataFrame(rows, "block_key string, id long")
+
+    plain = candidate_pairs(blocks, hot_threshold=10**9)
+    fixed = candidate_pairs(blocks, hot_threshold=0, num_salts=6)
+    adaptive = candidate_pairs(blocks, hot_threshold=0, adaptive_target_rows=8)
+
+    def keyed(df):
+        return {(r.id_a, r.id_b, r.n_keys) for r in df.collect()}
+
+    kp = keyed(plain)
+    assert kp == keyed(fixed) == keyed(adaptive)
+    assert len(kp) == 90 * 89 // 2 + 12 * 11 // 2 + 3 * 2 // 2
+
+    # adaptive mode with a huge target degenerates to S_b = 1 (one task per
+    # block, same as unsalted) and still produces the identical set
+    degenerate = candidate_pairs(blocks, hot_threshold=0, adaptive_target_rows=10**6)
+    assert keyed(degenerate) == kp
