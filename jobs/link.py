@@ -35,6 +35,8 @@ def main() -> int:
     ap.add_argument("--len-band", type=int, default=32)
     ap.add_argument("--hot-threshold", type=int, default=2000)
     ap.add_argument("--num-salts", type=int, default=16)
+    ap.add_argument("--adaptive-target-rows", type=int, default=None,
+                    help="per-block salt sizing: S_b = ceil(block_size / target)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
@@ -61,6 +63,7 @@ def main() -> int:
         len_band=args.len_band,
         hot_threshold=args.hot_threshold,
         num_salts=args.num_salts,
+        adaptive_target_rows=args.adaptive_target_rows,
         force=args.force,
     )
     t0 = time.perf_counter()

@@ -38,6 +38,10 @@ class LinkageConfig:
     len_band: int = 32
     hot_threshold: int = 2000
     num_salts: int = 16
+    # per-block adaptive salting (S_b = ceil(block_size / target)); None
+    # keeps the fixed num_salts. Same pair set either way — this knob only
+    # controls how a hot block's fan-out spreads over tasks.
+    adaptive_target_rows: int | None = None
     force: bool = False
     stage_times: dict = field(default_factory=dict)
 
@@ -77,7 +81,12 @@ def run_linkage(spark: SparkSession, source: DataFrame, cfg: LinkageConfig) -> d
         wh,
         cfg,
         "pairs",
-        lambda: candidate_pairs(blocks, cfg.hot_threshold, cfg.num_salts),
+        lambda: candidate_pairs(
+            blocks,
+            cfg.hot_threshold,
+            cfg.num_salts,
+            adaptive_target_rows=cfg.adaptive_target_rows,
+        ),
     )
     scored = _stage(
         wh,
