@@ -99,3 +99,82 @@ def extract_media_meta(
             )
 
     return df.mapInPandas(run, META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 256,
+    every: int = 4,
+) -> DataFrame:
+    """Frame-sample a binary payload: treat it as consecutive
+    ``frame_bytes``-sized frames and keep every ``every``-th one →
+    (id, frame_idx, frame_len, frame_sha).
+
+    Deliberately NOT a Python UDF: byte slicing and hashing are
+    ``substring``/``sha2`` on the binary column — whole-stage codegen, one
+    explode of the sampled index range, no Arrow round-trip. This is the
+    video-frame-sampling *plumbing* shape: a real decoder swaps the
+    byte-slice for a codec call inside mapInPandas (see ``extract_media_meta``
+    for that pattern), but sampling, manifesting and hashing frames stays
+    JVM-side either way.
+    """
+    import pyspark.sql.functions as F
+
+    n_frames = F.ceil(F.length(F.col(payload_col)) / F.lit(frame_bytes))
+    with_idx = df.select(
+        F.col(id_col),
+        F.col(payload_col),
+        F.explode(
+            F.when(
+                n_frames > 0, F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(every))
+            ).otherwise(F.expr("array()"))
+        ).alias("frame_idx"),
+    )
+    frame = F.substring(
+        F.col(payload_col), F.col("frame_idx") * frame_bytes + 1, frame_bytes
+    )
+    return with_idx.select(
+        F.col(id_col),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length(frame).cast("long").alias("frame_len"),
+        F.sha2(frame, 256).alias("frame_sha"),
+    )
+
+
+RESIZED_SCHEMA = "doc_id long, width long, height long, payload binary"
+
+
+def resize_stub(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic stand-in for image resize: binary → binary mapInPandas
+    with the real plumbing shape (batch in, batch out, binary columns both
+    ways). The stub emits ``width*height`` pseudo-pixel bytes derived by
+    repeating the payload's sha256 digest — stable across runs and
+    partitionings; a PIL-backed implementation replaces only the body
+    (decode → ``img.resize((w, h))`` → re-encode), signature unchanged.
+    """
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf[payload_col]:
+                digest = hashlib.sha256(p).digest()
+                out_payloads.append((digest * (n_out // len(digest) + 1))[:n_out])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "payload": out_payloads,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)

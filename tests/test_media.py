@@ -53,3 +53,46 @@ def test_decode_image_via_fake_pil(monkeypatch):
 def test_unknown_codec_rejected():
     with pytest.raises(ValueError, match="unknown codec"):
         media._pick_decoder("ffmpeg")
+
+
+def test_sample_frames_boundaries(spark):
+    from levenshtein_spark.operators.media import sample_frames
+    import hashlib as hl
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, b"a" * 1000),   # 4 frames of 256 (last short) -> sampled idx 0
+        (2, b"b" * 1537),   # 7 frames -> sampled idx 0, 4
+        (3, b""),           # empty -> no frames
+        (4, b"c" * 256),    # exactly one frame
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.frame_idx, r.frame_len, r.frame_sha)
+        for r in sample_frames(df, frame_bytes=256, every=4).collect()
+    }
+    def sha(b): return hl.sha256(b).hexdigest()
+    exp = {
+        (1, 0, 256, sha(b"a" * 256)),
+        (2, 0, 256, sha(b"b" * 256)),
+        (2, 4, 256, sha(b"b" * 256)),
+        (4, 0, 256, sha(b"c" * 256)),
+    }
+    assert got == exp
+
+
+def test_resize_stub_shape_and_determinism(spark):
+    from levenshtein_spark.operators.media import resize_stub
+    import hashlib as hl
+
+    df = spark.createDataFrame(
+        [(1, b"payload-one"), (2, b"")], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in resize_stub(df, width=8, height=4).collect()}
+    assert set(out) == {1, 2}
+    for i, src in ((1, b"payload-one"), (2, b"")):
+        r = out[i]
+        assert (r.width, r.height) == (8, 4)
+        assert len(r.payload) == 8 * 4
+        digest = hl.sha256(src).digest()
+        assert bytes(r.payload) == (digest * 2)[: 8 * 4]
