@@ -116,3 +116,43 @@ def test_fs_weight_validation(spark):
         raise AssertionError("m=1.0 must raise")
     except ValueError:
         pass
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+if HAS_HYPOTHESIS:
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        keys=st.lists(
+            st.text(min_size=0, max_size=12), min_size=2, max_size=60
+        ),
+        window=st.integers(min_value=2, max_value=6),
+        nparts=st.integers(min_value=1, max_value=7),
+    )
+    def test_snm_hypothesis_unicode_keys(spark, keys, window, nparts):
+        """Arbitrary unicode sort keys (dupes, empties, surrogates excluded
+        by st.text): the operator must agree with the brute force under
+        Python's codepoint ordering — valid because UTF-8 byte order equals
+        codepoint order, so Spark's string comparison sorts identically."""
+        rows = list(enumerate(keys))
+        df = spark.createDataFrame(rows, "id long, skey string")
+        order = sorted(rows, key=lambda t: (t[1], t[0]))
+        expected = {
+            (order[i][0], order[j][0], j - i)
+            for i in range(len(order))
+            for j in range(i + 1, min(i + window, len(order)))
+        }
+        got = {
+            (r.id_a, r.id_b, r.gap)
+            for r in sorted_neighborhood_pairs(
+                df, ["skey", "id"], window=window, num_partitions=nparts
+            ).collect()
+        }
+        assert got == expected
