@@ -18,6 +18,11 @@ top of the per-field comparisons.
   within edit distance 1, same nation, same market segment) on the segment-
   blocked candidate universe; weights are constants injected identically
   into both engines (operators/scoring.py:fellegi_sunter_weight).
+* ``top_k_neighbors`` — the per-record match-candidates list (every record's
+  k nearest names by capped edit distance within the blocked universe) —
+  the all-records shape of the reference's closest-match query
+  (doc/Usage.md:178-189), where ``top_k_matches`` covers the broadcast
+  few-probes shape.
 """
 
 from __future__ import annotations
@@ -26,7 +31,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from levenshtein_spark.driver_queries import tbl
-from levenshtein_spark.driver_queries.linkage import _CUST_EDGES, _customer_scored
+from levenshtein_spark.driver_queries.linkage import (
+    _CUST_EDGES,
+    _CUST_PAIRS,
+    _customer_scored,
+)
 from levenshtein_spark.functions.distance import bounded_edit_dist
 from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
 from levenshtein_spark.operators.scoring import edges as edges_of
@@ -174,11 +183,57 @@ def q_fs_match_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_NBR_CAP = 2
+_NBR_TOP = 3
+
+
+def q_top_k_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    """Each record's top-{top} nearest neighbor names (capped Levenshtein
+    <= {cap}) within the segment-blocked candidate universe.
+
+    The scalable all-records complement to ``operators.closest.top_k_matches``
+    (which broadcasts a small probe set): candidates come from the salted
+    slim-pair operator, each unordered pair is scored once, then mirrored
+    into both per-record adjacency directions — so the window rank sorts a
+    per-record neighbor list bounded by the blocking fan-out, never a
+    cross-join. Spark compiles the rank filter to WindowGroupLimit (top-k
+    pushed below the sort; asserted in tests/test_plans.py).
+    """
+    from levenshtein_spark.driver_queries.linkage import _customer_blocks
+
+    records = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    blocks = _customer_blocks(spark, sf)
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    fat = attach_pair_payload(pairs, records, ["name"])
+    scored = fat.select(
+        "id_a", "id_b", bounded_edit_dist("name_a", "name_b", _NBR_CAP).alias("d")
+    ).where(F.col("d") <= _NBR_CAP)
+    sym = scored.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "d"
+    ).unionByName(scored.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "d"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("nbr").asc())
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _NBR_TOP)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.col("nbr").cast("long").alias("nbr"),
+            F.col("d").cast("long").alias("d"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 QUERIES = {
     "snm_pairs": q_snm_pairs,
     "blocking_metrics_snm": q_blocking_metrics_snm,
     "blocking_metrics_snm_multipass": q_blocking_metrics_snm_multipass,
     "fs_match_weights": q_fs_match_weights,
+    "top_k_neighbors": q_top_k_neighbors,
 }
 
 
@@ -272,6 +327,28 @@ FROM n, m
 """
 
 
+# capped at {_NBR_CAP}: kept rows have true levenshtein <= cap, so the
+# reference bounded convention (exceeded -> k_eff+1) never shows in the output
+_TOP_K_NEIGHBORS = f"""
+WITH scored AS (
+  SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS d
+  FROM ({_CUST_PAIRS}) p
+  WHERE levenshtein(name_a, name_b) <= {_NBR_CAP}
+),
+sym AS (
+  SELECT id_a AS id, id_b AS nbr, d FROM scored
+  UNION ALL
+  SELECT id_b AS id, id_a AS nbr, d FROM scored
+),
+ranked AS (
+  SELECT id, nbr, d, row_number() OVER (PARTITION BY id ORDER BY d, nbr) AS rank
+  FROM sym
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(nbr AS BIGINT) AS nbr, d,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_NBR_TOP}
+"""
+
 ORACLES = {
     "snm_pairs": _SNM_PAIRS,
     "blocking_metrics_snm": _scorecard_sql(
@@ -282,4 +359,5 @@ ORACLES = {
 FROM (SELECT id_a, id_b FROM ({_SNM_PAIRS}) UNION ALL SELECT id_a, id_b FROM ({_SNM_PAIRS_REV})) u"""
     ),
     "fs_match_weights": _fs_sql(),
+    "top_k_neighbors": _TOP_K_NEIGHBORS,
 }

@@ -27,7 +27,11 @@ from levenshtein_spark.driver_queries import tbl
 from levenshtein_spark.operators.blocking import exploded_blocks
 from levenshtein_spark.operators.clustering import cluster_labels
 from levenshtein_spark.operators.normalize import normalize
-from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
+from levenshtein_spark.operators.pairs import (
+    attach_pair_payload,
+    candidate_pairs,
+    candidate_pairs_lr,
+)
 from levenshtein_spark.operators.scoring import edges as edges_of
 from levenshtein_spark.operators.scoring import score_pairs
 
@@ -160,6 +164,92 @@ def q_linkage_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_linkage_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-incremental linkage: a delta of new records (every 10th
+    customer) is linked against the already-ingested base WITHOUT
+    re-pairing the base against itself.
+
+    Edge-set decomposition: blocking keys are per-record, so the full
+    candidate set partitions exactly into base×base ∪ delta×base ∪
+    delta×delta. The base×base edges are reused as-is (in production: read
+    from the edges checkpoint the pipeline already writes —
+    plans/linkage.py), the delta×base cross pairs come from the bipartite
+    salted operator (``candidate_pairs_lr``), and only the delta blocks
+    self-join. Scoring cost scales with |delta|·fanout, not |corpus|².
+
+    The output is the full corpus' cluster labels, and the oracle is the
+    UNCHANGED full-batch closure — the driver hash-check IS the proof that
+    incremental == batch.
+    """
+    c = tbl(spark, sf, "customer")
+    is_delta = F.col("id") % 10 == 0
+    blocks = _customer_blocks(spark, sf).persist()
+    b_base, b_delta = blocks.where(~is_delta), blocks.where(is_delta)
+    records = _customer_records(spark, sf)
+
+    def score_edges(pairs: DataFrame) -> DataFrame:
+        fat = attach_pair_payload(
+            pairs, records, ["sha", "path_base", "content_prefix"]
+        )
+        return edges_of(score_pairs(fat, k_content=1, k_path=2, transpositions=False))
+
+    base_edges = score_edges(candidate_pairs(b_base, hot_threshold=500, num_salts=8).drop("n_keys"))
+    cross_pairs = candidate_pairs_lr(b_delta, b_base, hot_threshold=500, num_salts=8).select(
+        F.least("id_l", "id_r").alias("id_a"), F.greatest("id_l", "id_r").alias("id_b")
+    )
+    delta_pairs = candidate_pairs(b_delta, hot_threshold=500, num_salts=8).drop("n_keys")
+    new_edges = score_edges(cross_pairs.unionByName(delta_pairs))
+
+    ids = c.select(F.col("c_custkey").alias("id"))
+    return cluster_labels(ids, base_edges.unionByName(new_edges)).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def q_linkage_golden(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 6 (survivorship): one golden record per entity cluster.
+
+    The classic ER step after transitive closure — merge each cluster into a
+    canonical row. Survivorship rule here: keep the member with the highest
+    account balance, ties to the lowest id (expressed as one map-side-
+    combining ``max(struct(acctbal, -id, name))`` aggregation — no window,
+    no per-cluster sort); double-typed merge fields stick to min/max, which
+    are order-insensitive and therefore bit-identical across engines
+    (unlike sum/avg, whose float addition order differs).
+    """
+    c = tbl(spark, sf, "customer")
+    ids = c.select(F.col("c_custkey").alias("id"))
+    labels = cluster_labels(ids, edges_of(_customer_scored(spark, sf)))
+    members = labels.join(
+        c.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+        ),
+        "id",
+    )
+    surv = F.max(
+        F.struct(
+            F.col("acctbal").alias("bal"),
+            (-F.col("id")).alias("nid"),
+            F.col("name").alias("nm"),
+        )
+    ).alias("s")
+    return (
+        members.groupBy("cluster_id")
+        .agg(surv, F.count(F.lit(1)).alias("n"), F.min("acctbal").alias("lo"))
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n").cast("long").alias("n_members"),
+            (-F.col("s.nid")).cast("long").alias("survivor_id"),
+            F.col("s.nm").alias("survivor_name"),
+            F.col("s.bal").alias("survivor_acctbal"),
+            F.col("lo").alias("min_acctbal"),
+        )
+    )
+
+
 def flagship_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """entry() surface: full pipeline → one row per entity cluster + size."""
     labels = q_linkage_clusters(spark, sf)
@@ -177,6 +267,8 @@ QUERIES = {
     "linkage_score": q_linkage_score,
     "linkage_edges": q_linkage_edges,
     "linkage_clusters": q_linkage_clusters,
+    "linkage_golden": q_linkage_golden,
+    "linkage_incremental": q_linkage_incremental,
 }
 
 
@@ -297,5 +389,58 @@ reach(root, node) AS (
 )
 SELECT CAST(root AS BIGINT) AS id, CAST(min(node) AS BIGINT) AS cluster_id
 FROM reach GROUP BY root
+""",
+    # incremental == batch: the oracle is the SAME full-batch closure the
+    # linkage_clusters query checks against — a hash match proves the
+    # base/delta edge decomposition loses and invents nothing
+    "linkage_incremental": f"""
+WITH RECURSIVE edges AS ({_CUST_EDGES}),
+und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+reach(root, node) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT CAST(root AS BIGINT) AS id, CAST(min(node) AS BIGINT) AS cluster_id
+FROM reach GROUP BY root
+""",
+    # survivorship: highest acctbal wins, ties to lowest id; double merge
+    # fields restricted to min/max (order-insensitive, engine-portable)
+    "linkage_golden": f"""
+WITH RECURSIVE edges AS ({_CUST_EDGES}),
+und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+reach(root, node) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node
+),
+labels AS (
+  SELECT CAST(root AS BIGINT) AS id, CAST(min(node) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY root
+),
+members AS (
+  SELECT l.cluster_id, c.c_custkey AS id, c.c_name AS name, c.c_acctbal AS acctbal,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rn
+  FROM labels l JOIN customer c ON c.c_custkey = l.id
+)
+SELECT m.cluster_id,
+       CAST(s.n AS BIGINT) AS n_members,
+       CAST(m.id AS BIGINT) AS survivor_id,
+       m.name AS survivor_name,
+       m.acctbal AS survivor_acctbal,
+       s.lo AS min_acctbal
+FROM members m
+JOIN (SELECT cluster_id, count(*) AS n, min(acctbal) AS lo
+      FROM members GROUP BY cluster_id) s USING (cluster_id)
+WHERE m.rn = 1
 """,
 }

@@ -50,6 +50,11 @@ def test_scoring_python_is_arrow_batched(all_plans):
     assert "ArrowEvalPython" in p
 
 
+def test_top_k_neighbors_window_group_limit(all_plans):
+    """The per-record rank filter must push top-k below the window sort."""
+    assert "WindowGroupLimit" in all_plans["top_k_neighbors"]
+
+
 def test_rewritten_queries_join_on_block_key(spark):
     """The r01 'weak' joins must stay keyed on block_key (not nation/band)."""
     from levenshtein_spark.driver_queries.dedup import (
