@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from levenshtein_spark.operators.blocking import exploded_blocks
 from levenshtein_spark.operators.clustering import cluster_labels
 from levenshtein_spark.operators.normalize import normalize
-from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
+from levenshtein_spark.operators.pairs import (
+    attach_pair_payload,
+    candidate_pairs,
+    candidate_pairs_lr,
+)
 from levenshtein_spark.operators.scoring import edges as edges_of
 from levenshtein_spark.operators.scoring import score_pairs
 from levenshtein_spark.sources.tables import Warehouse
@@ -133,6 +137,111 @@ def run_linkage(spark: SparkSession, source: DataFrame, cfg: LinkageConfig) -> d
         "pairs": pairs,
         "scored": scored,
         "edges": edges,
+        "clusters": clusters,
+        "warehouse": wh,
+    }
+
+
+def run_incremental_linkage(
+    spark: SparkSession, delta_source: DataFrame, cfg: LinkageConfig
+) -> dict:
+    """Link a delta batch of NEW records against an already-run pipeline
+    warehouse without re-pairing the base against itself.
+
+    Reads the base ``normalized`` / ``blocks`` / ``edges`` stage tables from
+    ``cfg.checkpoint_dir`` (run :func:`run_linkage` there first). Blocking
+    keys are per-record, so the full candidate set partitions exactly into
+    base×base ∪ delta×base ∪ delta×delta — base×base edges are reused from
+    the checkpoint, delta×base candidates come from the bipartite salted
+    join (``candidate_pairs_lr``), and only the delta blocks self-join.
+    Compute scales with |delta|·fanout, not |corpus|²; the resulting labels
+    are identical to a full-batch re-run (pinned in
+    tests/test_pipeline_e2e.py::test_incremental_matches_full_batch).
+
+    Delta ids must be disjoint from base ids (new records only). Every
+    delta stage checkpoints as ``delta_*`` with the same resume + lineage
+    metrics semantics as the batch plan; the refreshed full-corpus labels
+    land in ``clusters_incr``.
+    """
+    wh = Warehouse(spark, cfg.checkpoint_dir)
+    for t in ("normalized", "blocks", "edges"):
+        if not wh.exists(t):
+            raise ValueError(
+                f"base stage '{t}' missing from {cfg.checkpoint_dir}; run run_linkage first"
+            )
+    base_norm = wh.read("normalized")
+    base_blocks = wh.read("blocks")
+    base_edges = wh.read("edges").select("src", "dst")
+
+    delta_norm = _stage(
+        wh, cfg, "delta_normalized", lambda: normalize(delta_source, cfg.prefix_len)
+    )
+    delta_blocks = _stage(
+        wh, cfg, "delta_blocks", lambda: exploded_blocks(delta_norm, len_band=cfg.len_band)
+    )
+
+    def build_pairs() -> DataFrame:
+        cross = candidate_pairs_lr(
+            delta_blocks, base_blocks, cfg.hot_threshold, cfg.num_salts
+        ).select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+        )
+        within = candidate_pairs(
+            delta_blocks,
+            cfg.hot_threshold,
+            cfg.num_salts,
+            adaptive_target_rows=cfg.adaptive_target_rows,
+        ).select("id_a", "id_b")
+        return cross.unionByName(within)
+
+    delta_pairs = _stage(wh, cfg, "delta_pairs", build_pairs)
+    all_norm = base_norm.unionByName(delta_norm)
+    delta_scored = _stage(
+        wh,
+        cfg,
+        "delta_scored",
+        lambda: score_pairs(
+            attach_pair_payload(
+                delta_pairs, all_norm, ["sha", "path_base", "content_prefix"]
+            ),
+            cfg.k_content,
+            cfg.k_path,
+        ),
+    )
+    delta_edges = _stage(wh, cfg, "delta_edges", lambda: edges_of(delta_scored))
+    clusters = _stage(
+        wh,
+        cfg,
+        "clusters_incr",
+        lambda: cluster_labels(
+            all_norm.select("id"),
+            base_edges.unionByName(delta_edges.select("src", "dst")),
+            checkpoint_dir=f"{cfg.checkpoint_dir}/cc_rounds_incr",
+        ),
+    )
+
+    # same per-row invariant as the batch plan, over the delta only
+    drift = (
+        delta_norm.select("id", "sha")
+        .join(
+            normalize(delta_source, cfg.prefix_len).select(
+                "id", F.col("sha").alias("sha2")
+            ),
+            "id",
+        )
+        .where(F.col("sha") != F.col("sha2"))
+        .count()
+    )
+    if drift:
+        raise AssertionError(f"sha256 invariant violated for {drift} delta rows")
+
+    return {
+        "delta_normalized": delta_norm,
+        "delta_blocks": delta_blocks,
+        "delta_pairs": delta_pairs,
+        "delta_scored": delta_scored,
+        "delta_edges": delta_edges,
         "clusters": clusters,
         "warehouse": wh,
     }

@@ -130,6 +130,45 @@ def test_resume_skips_stages_and_is_identical(pipeline, spark):
     assert cfg2.stage_times == {}, "resume must not recompute any stage"
 
 
+def test_incremental_matches_full_batch(spark, tmp_path):
+    """run_incremental_linkage (delta vs checkpointed base) reproduces the
+    full-batch labels exactly, recomputing no base stage."""
+    import pyspark.sql.functions as F
+
+    from levenshtein_spark.plans.linkage import run_incremental_linkage
+
+    src = code_files_df(spark, num_clusters=25, seed=7)
+    full_cfg = LinkageConfig(
+        checkpoint_dir=str(tmp_path / "full"), k_content=K_CONTENT,
+        hot_threshold=150, num_salts=4,
+    )
+    want = {
+        r.id: r.cluster_id
+        for r in run_linkage(spark, src, full_cfg)["clusters"].collect()
+    }
+
+    is_delta = F.pmod(F.xxhash64("path"), F.lit(4)) == 0
+    ckpt = str(tmp_path / "incr")
+    base_cfg = LinkageConfig(
+        checkpoint_dir=ckpt, k_content=K_CONTENT, hot_threshold=150, num_salts=4
+    )
+    run_linkage(spark, src.where(~is_delta), base_cfg)
+    incr_cfg = LinkageConfig(
+        checkpoint_dir=ckpt, k_content=K_CONTENT, hot_threshold=150, num_salts=4
+    )
+    out = run_incremental_linkage(spark, src.where(is_delta), incr_cfg)
+    got = {r.id: r.cluster_id for r in out["clusters"].collect()}
+    assert got == want
+    assert set(incr_cfg.stage_times) == {
+        "delta_normalized",
+        "delta_blocks",
+        "delta_pairs",
+        "delta_scored",
+        "delta_edges",
+        "clusters_incr",
+    }, "incremental must not recompute base stages"
+
+
 def test_resume_from_mid_pipeline(spark, tmp_path):
     import shutil, os
 
