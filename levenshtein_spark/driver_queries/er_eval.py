@@ -188,8 +188,8 @@ _NBR_TOP = 3
 
 
 def q_top_k_neighbors(spark: SparkSession, sf: str) -> DataFrame:
-    """Each record's top-{top} nearest neighbor names (capped Levenshtein
-    <= {cap}) within the segment-blocked candidate universe.
+    """Each record's 3 nearest neighbor names (Levenshtein <= 2) within the
+    segment-blocked candidate universe.
 
     The scalable all-records complement to ``operators.closest.top_k_matches``
     (which broadcasts a small probe set): candidates come from the salted
@@ -204,12 +204,19 @@ def q_top_k_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     records = tbl(spark, sf, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
-    blocks = _customer_blocks(spark, sf)
+    # persisted: blocks feed the pair operator four ways (census + hot split
+    # + both join sides); scored feeds BOTH branches of the symmetrizing
+    # union — without it the salted join and the Arrow scoring run twice
+    blocks = _customer_blocks(spark, sf).persist()
     pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
     fat = attach_pair_payload(pairs, records, ["name"])
-    scored = fat.select(
-        "id_a", "id_b", bounded_edit_dist("name_a", "name_b", _NBR_CAP).alias("d")
-    ).where(F.col("d") <= _NBR_CAP)
+    scored = (
+        fat.select(
+            "id_a", "id_b", bounded_edit_dist("name_a", "name_b", _NBR_CAP).alias("d")
+        )
+        .where(F.col("d") <= _NBR_CAP)
+        .persist()
+    )
     sym = scored.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "d"
     ).unionByName(scored.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "d"))

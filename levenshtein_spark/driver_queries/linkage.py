@@ -354,6 +354,25 @@ FROM ({_CUST_SCORE}) s
 WHERE exact_dupe OR content_dist <= 1
 """
 
+# transitive closure by recursive reachability (UNION dedups, so cycles
+# terminate); label = min reachable id; singletons label themselves. The
+# single source of truth for every cluster-level oracle below.
+_CUST_CLUSTERS = f"""
+WITH RECURSIVE edges AS ({_CUST_EDGES}),
+und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+reach(root, node) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT CAST(root AS BIGINT) AS id, CAST(min(node) AS BIGINT) AS cluster_id
+FROM reach GROUP BY root
+"""
+
 ORACLES = {
     "linkage_normalize": f"""
 SELECT id, sha, content_len, content_prefix, path_base,
@@ -373,59 +392,15 @@ SELECT id_a, id_b, exact_dupe, content_dist, path_dist,
 FROM ({_CUST_SCORE}) s
 """,
     "linkage_edges": _CUST_EDGES,
-    # transitive closure by recursive reachability (UNION dedups, so cycles
-    # terminate); label = min reachable id; singletons label themselves.
-    "linkage_clusters": f"""
-WITH RECURSIVE edges AS ({_CUST_EDGES}),
-und AS (
-  SELECT src AS a, dst AS b FROM edges
-  UNION
-  SELECT dst AS a, src AS b FROM edges
-),
-reach(root, node) AS (
-  SELECT c_custkey, c_custkey FROM customer
-  UNION
-  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node
-)
-SELECT CAST(root AS BIGINT) AS id, CAST(min(node) AS BIGINT) AS cluster_id
-FROM reach GROUP BY root
-""",
-    # incremental == batch: the oracle is the SAME full-batch closure the
+    "linkage_clusters": _CUST_CLUSTERS,
+    # incremental == batch: the oracle IS the same full-batch closure the
     # linkage_clusters query checks against — a hash match proves the
     # base/delta edge decomposition loses and invents nothing
-    "linkage_incremental": f"""
-WITH RECURSIVE edges AS ({_CUST_EDGES}),
-und AS (
-  SELECT src AS a, dst AS b FROM edges
-  UNION
-  SELECT dst AS a, src AS b FROM edges
-),
-reach(root, node) AS (
-  SELECT c_custkey, c_custkey FROM customer
-  UNION
-  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node
-)
-SELECT CAST(root AS BIGINT) AS id, CAST(min(node) AS BIGINT) AS cluster_id
-FROM reach GROUP BY root
-""",
+    "linkage_incremental": _CUST_CLUSTERS,
     # survivorship: highest acctbal wins, ties to lowest id; double merge
     # fields restricted to min/max (order-insensitive, engine-portable)
     "linkage_golden": f"""
-WITH RECURSIVE edges AS ({_CUST_EDGES}),
-und AS (
-  SELECT src AS a, dst AS b FROM edges
-  UNION
-  SELECT dst AS a, src AS b FROM edges
-),
-reach(root, node) AS (
-  SELECT c_custkey, c_custkey FROM customer
-  UNION
-  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node
-),
-labels AS (
-  SELECT CAST(root AS BIGINT) AS id, CAST(min(node) AS BIGINT) AS cluster_id
-  FROM reach GROUP BY root
-),
+WITH labels AS ({_CUST_CLUSTERS}),
 members AS (
   SELECT l.cluster_id, c.c_custkey AS id, c.c_name AS name, c.c_acctbal AS acctbal,
          row_number() OVER (PARTITION BY l.cluster_id

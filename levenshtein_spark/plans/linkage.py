@@ -143,41 +143,77 @@ def run_linkage(spark: SparkSession, source: DataFrame, cfg: LinkageConfig) -> d
 
 
 def run_incremental_linkage(
-    spark: SparkSession, delta_source: DataFrame, cfg: LinkageConfig
+    spark: SparkSession,
+    delta_source: DataFrame,
+    cfg: LinkageConfig,
+    batch_id: str = "delta",
+    base_prefix: str = "",
 ) -> dict:
     """Link a delta batch of NEW records against an already-run pipeline
     warehouse without re-pairing the base against itself.
 
-    Reads the base ``normalized`` / ``blocks`` / ``edges`` stage tables from
-    ``cfg.checkpoint_dir`` (run :func:`run_linkage` there first). Blocking
-    keys are per-record, so the full candidate set partitions exactly into
-    base×base ∪ delta×base ∪ delta×delta — base×base edges are reused from
-    the checkpoint, delta×base candidates come from the bipartite salted
-    join (``candidate_pairs_lr``), and only the delta blocks self-join.
-    Compute scales with |delta|·fanout, not |corpus|²; the resulting labels
-    are identical to a full-batch re-run (pinned in
-    tests/test_pipeline_e2e.py::test_incremental_matches_full_batch).
+    Reads the base ``{base_prefix}normalized`` / ``{base_prefix}blocks`` /
+    ``{base_prefix}edges`` stage tables from ``cfg.checkpoint_dir`` (run
+    :func:`run_linkage` there first). Blocking keys are per-record, so the
+    full candidate set partitions exactly into base×base ∪ delta×base ∪
+    delta×delta — base×base edges are reused from the checkpoint, delta×base
+    candidates come from the bipartite salted join (``candidate_pairs_lr``),
+    and only the delta blocks self-join. Compute scales with |delta|·fanout,
+    not |corpus|²; the resulting labels are identical to a full-batch re-run
+    (pinned in tests/test_pipeline_e2e.py::test_incremental_matches_full_batch).
 
-    Delta ids must be disjoint from base ids (new records only). Every
-    delta stage checkpoints as ``delta_*`` with the same resume + lineage
-    metrics semantics as the batch plan; the refreshed full-corpus labels
-    land in ``clusters_incr``.
+    Every delta stage checkpoints as ``{batch_id}_*`` with the same resume +
+    lineage metrics semantics as the batch plan; the refreshed full-corpus
+    labels land in ``{batch_id}_clusters``. For the NEXT batch, the merged
+    ``{batch_id}_all_normalized`` / ``_all_blocks`` / ``_all_edges`` tables
+    are also written — pass ``base_prefix=f"{batch_id}_all_"`` to chain
+    day-over-day batches, each one reusing everything before it (pinned in
+    ...::test_incremental_chained_batches).
+
+    Guards (both raise instead of silently corrupting / going stale):
+
+    * delta ids must be disjoint from base ids (new records only — an
+      overlapping id would duplicate pairs and labels);
+    * a resumed ``batch_id`` must carry the SAME delta id set it was first
+      run with (fixed stage names would otherwise silently return the first
+      batch's tables for a different delta).
     """
     wh = Warehouse(spark, cfg.checkpoint_dir)
-    for t in ("normalized", "blocks", "edges"):
+    base_tables = [f"{base_prefix}{t}" for t in ("normalized", "blocks", "edges")]
+    for t in base_tables:
         if not wh.exists(t):
             raise ValueError(
                 f"base stage '{t}' missing from {cfg.checkpoint_dir}; run run_linkage first"
             )
-    base_norm = wh.read("normalized")
-    base_blocks = wh.read("blocks")
-    base_edges = wh.read("edges").select("src", "dst")
+    base_norm = wh.read(base_tables[0])
+    base_blocks = wh.read(base_tables[1])
+    base_edges = wh.read(base_tables[2]).select("src", "dst")
 
-    delta_norm = _stage(
-        wh, cfg, "delta_normalized", lambda: normalize(delta_source, cfg.prefix_len)
-    )
+    fresh_norm = normalize(delta_source, cfg.prefix_len)
+    overlap = fresh_norm.select("id").join(base_norm.select("id"), "id").count()
+    if overlap:
+        raise ValueError(
+            f"{overlap} delta ids already exist in the base — incremental linkage "
+            "takes new records only (re-run the batch plan for updates)"
+        )
+
+    resumed = wh.exists(f"{batch_id}_normalized")
+    delta_norm = _stage(wh, cfg, f"{batch_id}_normalized", lambda: fresh_norm)
+    if resumed:
+        stale = (
+            delta_norm.select("id").join(fresh_norm.select("id"), "id", "left_anti").count()
+            + fresh_norm.select("id").join(delta_norm.select("id"), "id", "left_anti").count()
+        )
+        if stale:
+            raise ValueError(
+                f"batch_id '{batch_id}' was already run with a different delta "
+                f"({stale} ids differ) — use a fresh batch_id per batch"
+            )
     delta_blocks = _stage(
-        wh, cfg, "delta_blocks", lambda: exploded_blocks(delta_norm, len_band=cfg.len_band)
+        wh,
+        cfg,
+        f"{batch_id}_blocks",
+        lambda: exploded_blocks(delta_norm, len_band=cfg.len_band),
     )
 
     def build_pairs() -> DataFrame:
@@ -195,12 +231,12 @@ def run_incremental_linkage(
         ).select("id_a", "id_b")
         return cross.unionByName(within)
 
-    delta_pairs = _stage(wh, cfg, "delta_pairs", build_pairs)
+    delta_pairs = _stage(wh, cfg, f"{batch_id}_pairs", build_pairs)
     all_norm = base_norm.unionByName(delta_norm)
     delta_scored = _stage(
         wh,
         cfg,
-        "delta_scored",
+        f"{batch_id}_scored",
         lambda: score_pairs(
             attach_pair_payload(
                 delta_pairs, all_norm, ["sha", "path_base", "content_prefix"]
@@ -209,27 +245,29 @@ def run_incremental_linkage(
             cfg.k_path,
         ),
     )
-    delta_edges = _stage(wh, cfg, "delta_edges", lambda: edges_of(delta_scored))
+    delta_edges = _stage(wh, cfg, f"{batch_id}_edges", lambda: edges_of(delta_scored))
+    all_edges = base_edges.unionByName(delta_edges.select("src", "dst"))
     clusters = _stage(
         wh,
         cfg,
-        "clusters_incr",
+        f"{batch_id}_clusters",
         lambda: cluster_labels(
             all_norm.select("id"),
-            base_edges.unionByName(delta_edges.select("src", "dst")),
-            checkpoint_dir=f"{cfg.checkpoint_dir}/cc_rounds_incr",
+            all_edges,
+            checkpoint_dir=f"{cfg.checkpoint_dir}/cc_rounds_{batch_id}",
         ),
     )
+    # merged tables = the NEXT batch's base (base_prefix=f"{batch_id}_all_")
+    merged_norm = _stage(wh, cfg, f"{batch_id}_all_normalized", lambda: all_norm)
+    merged_blocks = _stage(
+        wh, cfg, f"{batch_id}_all_blocks", lambda: base_blocks.unionByName(delta_blocks)
+    )
+    merged_edges = _stage(wh, cfg, f"{batch_id}_all_edges", lambda: all_edges)
 
     # same per-row invariant as the batch plan, over the delta only
     drift = (
         delta_norm.select("id", "sha")
-        .join(
-            normalize(delta_source, cfg.prefix_len).select(
-                "id", F.col("sha").alias("sha2")
-            ),
-            "id",
-        )
+        .join(fresh_norm.select("id", F.col("sha").alias("sha2")), "id")
         .where(F.col("sha") != F.col("sha2"))
         .count()
     )
@@ -242,6 +280,9 @@ def run_incremental_linkage(
         "delta_pairs": delta_pairs,
         "delta_scored": delta_scored,
         "delta_edges": delta_edges,
+        "all_normalized": merged_norm,
+        "all_blocks": merged_blocks,
+        "all_edges": merged_edges,
         "clusters": clusters,
         "warehouse": wh,
     }

@@ -165,8 +165,53 @@ def test_incremental_matches_full_batch(spark, tmp_path):
         "delta_pairs",
         "delta_scored",
         "delta_edges",
-        "clusters_incr",
+        "delta_clusters",
+        "delta_all_normalized",
+        "delta_all_blocks",
+        "delta_all_edges",
     }, "incremental must not recompute base stages"
+
+    # guard: an id already in the base must raise, not silently duplicate
+    with pytest.raises(ValueError, match="already exist in the base"):
+        run_incremental_linkage(
+            spark, src.where(~is_delta).limit(3), incr_cfg, batch_id="dupe_batch"
+        )
+
+    # guard: reusing a batch_id with a DIFFERENT delta must raise, not
+    # silently return the first batch's checkpointed tables
+    with pytest.raises(ValueError, match="different delta"):
+        run_incremental_linkage(spark, src.where(is_delta).limit(3), incr_cfg)
+
+
+def test_incremental_chained_batches(spark, tmp_path):
+    """Two day-over-day deltas chained via base_prefix reproduce the
+    full-batch labels; day 2 reuses day 1's merged tables."""
+    import pyspark.sql.functions as F
+
+    from levenshtein_spark.plans.linkage import run_incremental_linkage
+
+    src = code_files_df(spark, num_clusters=20, seed=13)
+    full_cfg = LinkageConfig(
+        checkpoint_dir=str(tmp_path / "full"), k_content=K_CONTENT,
+        hot_threshold=150, num_salts=4,
+    )
+    want = {
+        r.id: r.cluster_id
+        for r in run_linkage(spark, src, full_cfg)["clusters"].collect()
+    }
+
+    bucket = F.pmod(F.xxhash64("path"), F.lit(3))
+    ckpt = str(tmp_path / "chain")
+    cfg = LinkageConfig(
+        checkpoint_dir=ckpt, k_content=K_CONTENT, hot_threshold=150, num_salts=4
+    )
+    run_linkage(spark, src.where(bucket == 0), cfg)
+    run_incremental_linkage(spark, src.where(bucket == 1), cfg, batch_id="day1")
+    out = run_incremental_linkage(
+        spark, src.where(bucket == 2), cfg, batch_id="day2", base_prefix="day1_all_"
+    )
+    got = {r.id: r.cluster_id for r in out["clusters"].collect()}
+    assert got == want
 
 
 def test_resume_from_mid_pipeline(spark, tmp_path):
