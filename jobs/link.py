@@ -9,6 +9,11 @@ the deterministic synthetic corpus), runs normalize → blocking → salted
 pairs → Arrow-batched scoring → edges → star-contraction clustering with
 per-stage checkpoints, and prints stage metrics. Resumes from the last
 completed stage on re-run (north_rule: resumable from checkpoint).
+
+Incremental mode (``--incremental-batch DAY``): the source is a delta of
+NEW records linked against the warehouse's existing base tables without
+re-pairing the base (plans.run_incremental_linkage); chain day-over-day
+batches with ``--base-prefix day1_all_`` etc.
 """
 
 from __future__ import annotations
@@ -39,9 +44,20 @@ def main() -> int:
                     help="per-block salt sizing: S_b = ceil(block_size / target)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--incremental-batch", default=None, metavar="BATCH_ID",
+                    help="treat --source as a delta of new records and link it "
+                         "against the checkpointed base (stages namespaced "
+                         "BATCH_ID_*)")
+    ap.add_argument("--base-prefix", default="",
+                    help="base table prefix for chained incremental batches "
+                         "(e.g. day1_all_)")
     args = ap.parse_args()
 
-    from levenshtein_spark.plans.linkage import LinkageConfig, run_linkage
+    from levenshtein_spark.plans.linkage import (
+        LinkageConfig,
+        run_incremental_linkage,
+        run_linkage,
+    )
     from levenshtein_spark.session import get_spark
     from levenshtein_spark.sources.code_files import code_files_df
 
@@ -67,11 +83,20 @@ def main() -> int:
         force=args.force,
     )
     t0 = time.perf_counter()
-    stages = run_linkage(spark, source, cfg)
-    counts = {
-        name: stages[name].count()
-        for name in ("normalized", "blocks", "pairs", "scored", "edges", "clusters")
-    }
+    if args.incremental_batch:
+        stages = run_incremental_linkage(
+            spark, source, cfg,
+            batch_id=args.incremental_batch,
+            base_prefix=args.base_prefix,
+        )
+        count_stages = (
+            "delta_normalized", "delta_blocks", "delta_pairs",
+            "delta_scored", "delta_edges", "clusters",
+        )
+    else:
+        stages = run_linkage(spark, source, cfg)
+        count_stages = ("normalized", "blocks", "pairs", "scored", "edges", "clusters")
+    counts = {name: stages[name].count() for name in count_stages}
     n_clusters = stages["clusters"].select("cluster_id").distinct().count()
     print(json.dumps({
         "wall_sec": round(time.perf_counter() - t0, 2),
