@@ -17,6 +17,7 @@ def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict
     from levenshtein_spark.driver_queries import (
         ann,
         catalog,
+        curation,
         dedup,
         er_eval,
         linkage,
@@ -28,7 +29,9 @@ def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (catalog, linkage, dedup, text, ann, relational, multimodal, streaming, er_eval):
+    for mod in (
+        catalog, linkage, dedup, text, ann, relational, multimodal, streaming, er_eval, curation,
+    ):
         overlap = queries.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -23,7 +23,11 @@ from levenshtein_spark.functions.hashing import (
     simhash_segment_keys,
 )
 from levenshtein_spark.functions.text import char_shingles, word_bigrams
-from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
+from levenshtein_spark.operators.pairs import (
+    attach_pair_payload,
+    candidate_pairs,
+    candidate_pairs_lr,
+)
 
 _NUM_HASHES = 8
 _BANDS = 4
@@ -184,12 +188,70 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PFX_KEY = 32
+
+
+def q_dedup_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment dedup: document A whose full text is a PROPER prefix of
+    document B (the truncation-duplicate family: crawler cutoffs, partial
+    re-uploads — invisible to exact dedup, expensive for MinHash when the
+    container is much longer).
+
+    Lossless fixed-width blocking: the prefix side keys on its first
+    ``min(32, len)`` chars; the container side emits its prefixes at every
+    length L ≤ min(32, len) (≤ 32 keys/doc, constant fan-out). If A is a
+    proper prefix of B then key(A) = substr(B, 1, min(32, len_A)), which B
+    emits — so every true containment survives blocking; the equi-join
+    candidates are then verified exactly with startswith. Hot keys (a
+    mass-truncated page) route through the bipartite salted join.
+    """
+    d = tbl(spark, sf, "documents")
+    base = d.select(
+        F.col("doc_id").alias("id"), "text", F.length("text").cast("long").alias("len")
+    )
+    a_blocks = base.select(F.substring("text", 1, _PFX_KEY).alias("block_key"), "id")
+    b_blocks = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.col("len"), F.lit(_PFX_KEY))),
+                lambda length: F.substr(F.col("text"), F.lit(1), length),
+            )
+        ).alias("block_key"),
+        "id",
+    )
+    pairs = candidate_pairs_lr(a_blocks, b_blocks, hot_threshold=500, num_salts=8).where(
+        F.col("id_l") != F.col("id_r")
+    )
+    fat = (
+        pairs.join(
+            base.select(
+                F.col("id").alias("id_l"), F.col("text").alias("text_a"),
+                F.col("len").alias("len_a"),
+            ),
+            "id_l",
+        )
+        .join(
+            base.select(
+                F.col("id").alias("id_r"), F.col("text").alias("text_b"),
+                F.col("len").alias("len_b"),
+            ),
+            "id_r",
+        )
+    )
+    return fat.where(
+        (F.col("len_a") < F.col("len_b")) & F.col("text_b").startswith(F.col("text_a"))
+    ).select(
+        F.col("id_l").alias("doc_a"), F.col("id_r").alias("doc_b"), "len_a", "len_b"
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_prefix": q_dedup_prefix,
 }
 
 
@@ -275,6 +337,17 @@ SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
        CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
 FROM sh l JOIN sh r ON l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= {_HAM_MAX}
+""",
+    # brute-force containment oracle: the fixed-width prefix blocking is
+    # lossless (see q_dedup_prefix), so blocked == all-pairs
+    "dedup_prefix": """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(strlen(a.text) AS BIGINT) AS len_a,
+       CAST(strlen(b.text) AS BIGINT) AS len_b
+FROM documents a JOIN documents b
+  ON a.doc_id <> b.doc_id
+ AND strlen(a.text) < strlen(b.text)
+ AND starts_with(b.text, a.text)
 """,
     "dedup_ngram_jaccard": f"""
 WITH g AS (

@@ -250,6 +250,18 @@ def q_linkage_golden(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_linkage_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-size histogram over the ER output — the ops scorecard that
+    catches blocking/threshold regressions (a runaway giant cluster shows up
+    here long before F1 is recomputed) and sizes the skew the downstream
+    golden-record stage must absorb."""
+    labels = q_linkage_clusters(spark, sf)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    ).select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters")
+
+
 def flagship_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """entry() surface: full pipeline → one row per entity cluster + size."""
     labels = q_linkage_clusters(spark, sf)
@@ -269,6 +281,7 @@ QUERIES = {
     "linkage_clusters": q_linkage_clusters,
     "linkage_golden": q_linkage_golden,
     "linkage_incremental": q_linkage_incremental,
+    "linkage_cluster_stats": q_linkage_cluster_stats,
 }
 
 
@@ -397,6 +410,13 @@ FROM ({_CUST_SCORE}) s
     # linkage_clusters query checks against — a hash match proves the
     # base/delta edge decomposition loses and invents nothing
     "linkage_incremental": _CUST_CLUSTERS,
+    "linkage_cluster_stats": f"""
+WITH labels AS ({_CUST_CLUSTERS}),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+""",
     # survivorship: highest acctbal wins, ties to lowest id; double merge
     # fields restricted to min/max (order-insensitive, engine-portable)
     "linkage_golden": f"""

@@ -21,6 +21,7 @@ from levenshtein_spark.functions.text import (
     quality_score,
     rolling_fingerprint,
     token_count,
+    word_bigrams,
     word_tokens,
 )
 
@@ -60,6 +61,47 @@ def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", rolling_fingerprint(F.col("text"), 8).alias("fingerprint"))
 
 
+def _rep_stats(d: DataFrame, unit, prefix: str) -> DataFrame:
+    """(doc_id, {prefix}_top_frac, {prefix}_dup_frac) from an array column.
+
+    explode → (doc_id, unit) counts → per-doc max/total/distinct. Both
+    groupBys combine map-side; nothing per-doc ever materializes as one row
+    wider than three longs, so the shape survives any corpus size.
+    """
+    counts = (
+        d.select("doc_id", F.explode(unit).alias("u"))
+        .groupBy("doc_id", "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias(f"{prefix}_top_frac"),
+        (
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c")
+        ).alias(f"{prefix}_dup_frac"),
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals: most-common-word fraction, duplicate
+    word fraction, and the same over word bigrams — the filters that catch
+    degenerate/boilerplate text that length and stopword ratios miss."""
+    d = tbl(spark, sf, "documents")
+    w = _rep_stats(d, word_tokens(F.col("text")), "word")
+    b = _rep_stats(d, word_bigrams(F.col("text")), "bigram")
+    return (
+        d.select("doc_id")
+        .join(w, "doc_id", "left")
+        .join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[
+                F.round(F.coalesce(F.col(c), F.lit(0.0)), 6).alias(c)
+                for c in ["word_top_frac", "word_dup_frac", "bigram_top_frac", "bigram_dup_frac"]
+            ],
+        )
+    )
+
+
 def q_text_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-level token frequency: top 20 word tokens (classic wordcount)."""
     d = tbl(spark, sf, "documents")
@@ -77,6 +119,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
+    "text_repetition": q_text_repetition,
     "text_top_tokens": q_text_top_tokens,
 }
 
@@ -124,6 +167,42 @@ list_min(list_transform(
   g -> (('0x' || substr(md5(g), 1, 15))::BIGINT)))
 """
 
+# word_bigrams mirror (same math as dedup.py's _DD_BIGRAMS): single-token
+# docs yield the token itself; empty docs yield one '' shingle
+_DD_BG = (
+    "list_transform(range(1, greatest(len(w) - 1, 1) + 1), "
+    "i -> array_to_string(list_slice(w, i, i + 1), '_'))"
+)
+
+
+def _dd_rep_cte(src: str, prefix: str) -> str:
+    return f"""
+{prefix}c AS (
+  SELECT doc_id, u, count(*) AS c
+  FROM (SELECT doc_id, unnest({src}) AS u FROM w) t GROUP BY doc_id, u
+),
+{prefix}s AS (
+  SELECT doc_id,
+         max(c) * 1.0 / sum(c) AS {prefix}_top_frac,
+         1.0 - count(*) * 1.0 / sum(c) AS {prefix}_dup_frac
+  FROM {prefix}c GROUP BY doc_id
+)"""
+
+
+_DD_REPETITION = f"""
+WITH w AS (SELECT doc_id, {_DD_WORDS} AS w FROM documents),
+{_dd_rep_cte("w", "word")},
+{_dd_rep_cte(_DD_BG, "bigram")}
+SELECT d.doc_id,
+       round(coalesce(word_top_frac, 0.0), 6) AS word_top_frac,
+       round(coalesce(word_dup_frac, 0.0), 6) AS word_dup_frac,
+       round(coalesce(bigram_top_frac, 0.0), 6) AS bigram_top_frac,
+       round(coalesce(bigram_dup_frac, 0.0), 6) AS bigram_dup_frac
+FROM documents d
+LEFT JOIN words USING (doc_id)
+LEFT JOIN bigrams USING (doc_id)
+"""
+
 ORACLES = {
     "text_stats": f"""
 SELECT doc_id,
@@ -146,6 +225,7 @@ SELECT doc_id, lang AS label, {_dd_lang_guess()} AS guess FROM documents
 SELECT doc_id, {_DD_FP} AS fingerprint
 FROM (SELECT doc_id, {_DD_WORDS} AS w FROM documents) t
 """,
+    "text_repetition": _DD_REPETITION,
     "text_top_tokens": f"""
 SELECT token, CAST(count(*) AS BIGINT) AS freq
 FROM (SELECT unnest({_DD_WORDS}) AS token FROM documents) t
