@@ -140,9 +140,63 @@ def q_streaming_incremental_link(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_WIN_SINK = "streaming_windowed_counts_mem"
+_WIN = "1 hour"
+
+
+def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the canonical late-data
+    Structured Streaming operator, driver-checked in APPEND mode (the mode
+    whose semantics are actually watermark-dependent: a window row is
+    emitted only once its end falls at or below the final watermark).
+
+    With ``availableNow`` over a static file the emission set is closed-form
+    — Spark runs a final no-data micro-batch that advances the watermark to
+    ``max(ts) - delay`` and flushes every window with ``end <= watermark``
+    (boundary pinned empirically AND in tests/test_streaming.py: equality
+    EMITS) — so the DuckDB twin is a plain GROUP BY with that HAVING clause.
+    State is bounded by the watermark by construction.
+
+    ts is TIMESTAMP_NTZ in the lake; watermarks require TIMESTAMP, and the
+    session TZ is pinned UTC so the LTZ hop preserves wall-clock times and
+    the epoch-aligned window starts match DuckDB's ``time_bucket``.
+    """
+    batch = tbl(spark, sf, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf)
+    )
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", _WIN)
+        .groupBy(F.window("ts", _WIN).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_WIN_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_windowed_counts did not drain within 300s")
+    return spark.table(_WIN_SINK)
+
+
 QUERIES = {
     "streaming_fuzzy_link": q_streaming_fuzzy_link,
     "streaming_incremental_link": q_streaming_incremental_link,
+    "streaming_windowed_counts": q_streaming_windowed_counts,
 }
 
 def _incremental_oracle() -> str:
@@ -178,6 +232,20 @@ WHERE r.osa <= {_K}
 
 ORACLES = {
     "streaming_incremental_link": _incremental_oracle(),
+    # append-mode emission set: windows whose end <= final watermark
+    # (= max(ts) - delay); equality emits — pinned in tests/test_streaming.py
+    "streaming_windowed_counts": """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+g AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type, CAST(n AS BIGINT) AS n
+FROM g, wm
+WHERE ws + INTERVAL 1 HOUR <= wm.w
+""",
     "streaming_fuzzy_link": f"""
 WITH ref AS (
   SELECT lang,

@@ -114,3 +114,37 @@ def test_stream_incremental_link(spark, tmp_path):
     # id2 ~ id1 (dist 1, same batch); id4 ~ id1 (1) and ~ id2 (2, across
     # batches); id5 ~ id3 (1, across batches)
     assert got == {(2, 1, 1), (4, 1, 1), (4, 2, 2), (5, 3, 1)}
+
+
+def test_windowed_counts_watermark_boundary_emits_on_equality(spark, tmp_path):
+    """Append-mode flush rule the streaming_windowed_counts oracle encodes:
+    with availableNow, the final watermark is max(ts) - delay and a window
+    whose END EQUALS the watermark IS emitted (<=, not <)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 30)),   # window [00:00, 01:00)
+        (2, dt.datetime(2024, 1, 1, 1, 30)),   # window [01:00, 02:00)
+        (3, dt.datetime(2024, 1, 1, 2, 0)),    # max ts -> watermark 01:00
+    ]
+    src = str(tmp_path / "wb")
+    spark.createDataFrame(rows, "event_id long, ts timestamp_ntz").coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp_ntz")
+        .format("parquet").load(src)
+    )
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+    )
+    q = (
+        agg.select(F.date_format("w.end", "HH:mm").alias("we"), "count")
+        .writeStream.format("memory").queryName("wb_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    # the [00:00,01:00) window (end == watermark) flushes; [01:00,02:00) and
+    # the watermark-holding row's own window stay in state
+    assert sorted(r["we"] for r in spark.table("wb_sink").collect()) == ["01:00"]
