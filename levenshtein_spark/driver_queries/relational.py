@@ -158,6 +158,37 @@ def q_similarity_join_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_EDJ_K = 2
+_EDJ_Q = 3
+_EDJ_PLEN = 32
+
+
+def q_edjoin_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance self-join via the Ed-Join prefix-filter generator
+    (operators/simjoin.py edit_distance_self_join): all document pairs whose
+    {_EDJ_PLEN}-char prefixes are within Levenshtein distance {_EDJ_K}.
+
+    The content-based complement to similarity_join_docs' length banding —
+    candidates must share one of each string's k·q+1 RAREST q-grams, so a
+    uniform-length corpus (where every length band is one giant block) still
+    produces a near-linear candidate set. Exact by the count-filter lemma;
+    the brute-force DuckDB twin proves it.
+    """
+    from levenshtein_spark.operators.simjoin import edit_distance_self_join
+
+    d = tbl(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), F.substring("text", 1, _EDJ_PLEN).alias("ptext")
+    )
+    out = edit_distance_self_join(
+        d, "ptext", k=_EDJ_K, q=_EDJ_Q, hot_threshold=500, num_salts=8
+    )
+    return out.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 def q_fuzzy_join_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Two-table batch linkage (operators.pairs.fuzzy_join): link the
     customer table against a synthetic "dirty batch" — every name with its
@@ -193,6 +224,7 @@ def q_fuzzy_join_customers(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES = {
     "similar_names_by_nation": q_similar_names_by_nation,
     "similarity_join_docs": q_similarity_join_docs,
+    "edjoin_docs": q_edjoin_docs,
     "fuzzy_join_customers": q_fuzzy_join_customers,
     "events_sessionize": q_events_sessionize,
     "pricing_rollup": q_pricing_rollup,
@@ -231,6 +263,15 @@ scored AS (
 )
 SELECT doc_a, doc_b, round(sim, 6) AS sim
 FROM scored WHERE sim >= {_SIM_P}
+""",
+    # brute-force twin: the prefix-filter blocking is exact (count-filter
+    # lemma), so blocked-and-verified == all-pairs
+    "edjoin_docs": f"""
+WITH s AS (SELECT doc_id, substr(text, 1, {_EDJ_PLEN}) AS pt FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.pt, b.pt) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.pt, b.pt) <= {_EDJ_K}
 """,
     "fuzzy_join_customers": """
 WITH l AS (

@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
 
@@ -82,3 +82,98 @@ def similarity_self_join(
         "id_b",
         sim_fn(f"{text_col}_a", f"{text_col}_b").alias("sim"),
     ).where(F.col("sim") >= p)
+
+
+def _positional_qgrams(text: Column, q: int) -> Column:
+    """The positional q-gram multiset of ``text`` as array<string> (empty
+    for strings shorter than q — F.sequence would count DOWN for a negative
+    span, so the short case is guarded explicitly)."""
+    ln = F.length(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), ln - (q - 1)), lambda i: F.substr(text, i, F.lit(q))
+    )
+    return F.when(ln >= q, grams).otherwise(F.array().cast("array<string>"))
+
+
+def edit_distance_self_join(
+    records: DataFrame,
+    text_col: str,
+    k: int,
+    q: int = 3,
+    id_col: str = "id",
+    transpositions: bool = False,
+    dist_fn=None,
+    hot_threshold: int = 2000,
+    num_salts: int = 16,
+) -> DataFrame:
+    """All pairs with edit distance <= k, via the Ed-Join / prefix-filter
+    candidate generator (Gravano et al. VLDB'01 count filter; Xiao et al.
+    prefix filter) — the content-based candidate generator that stays
+    selective where pure length banding degrades to one giant band (uniform-
+    length corpora). Output: ``(id_a, id_b, dist)``; exact, not approximate.
+
+    Why it is lossless: one edit (ins/del/sub) overlaps at most ``q``
+    positional q-grams (a transposition at most ``q+1``, hence the per-edit
+    damage ``D``), so ``dist(s,t) <= k`` forces the gram multisets to share
+    ``>= max(|G_s|,|G_t|) - k*D`` grams. Sorting every string's grams under
+    one global order (rarest-frequency-first — the census makes prefix
+    grams the most selective ones) and keeping each string's first
+    ``k*D + 1`` grams as its blocking keys then guarantees any valid pair
+    shares >= 1 key, PROVIDED the longer string has > k*D grams, i.e.
+    ``len >= k*D + q``. Pairs below that length land together in a
+    dedicated "short" block (if the longer side is short, so is the
+    shorter), which keeps the construction exact end to end; candidates are
+    verified with the exact kernel. Like every blocked family here, keys
+    flow through the hot-block-salted slim-pair operator.
+
+    Scale shape: gram census = one map-side-combining aggregate; the global
+    order is attached by a gram-keyed join (never broadcast); the per-string
+    rarest-prefix rank partitions by id (short sorted runs). The prefix
+    shrinks candidates by content — at web scale this is the difference
+    between "every same-length pair" and "pairs sharing a rare substring".
+    """
+    if k < 0 or q < 1:
+        raise ValueError("need k >= 0 and q >= 1")
+    if dist_fn is None:
+        from levenshtein_spark.functions.distance import (
+            bounded_edit_dist,
+            bounded_edit_dist_t,
+        )
+
+        dist_fn = bounded_edit_dist_t if transpositions else bounded_edit_dist
+    damage = (q + 1) if transpositions else q
+    prefix_len = k * damage + 1
+    short_len = k * damage + q  # longer side below this ⇒ prefix filter vacuous
+
+    # NULL text follows the kernel's NULL→empty rule (prealgorithm.h:17-23):
+    # length 0 routes it into the short block instead of out of the join
+    base = records.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("__len"),
+    )
+    grams = base.select(
+        "id", "__len", F.explode(_positional_qgrams(F.col("__t"), q)).alias("g")
+    )
+    census = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__freq"))
+    ranked = grams.join(census, "g").withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("__freq", "g")
+        ),
+    )
+    gram_keys = ranked.where(F.col("__r") <= prefix_len).select(
+        F.concat(F.lit("eg|"), F.col("g")).alias("block_key"), "id"
+    )
+    short_keys = base.where(F.col("__len") < short_len).select(
+        F.lit("eg|__short").alias("block_key"), "id"
+    )
+    pairs = candidate_pairs(
+        gram_keys.unionByName(short_keys), hot_threshold, num_salts
+    ).drop("n_keys")
+    fat = attach_pair_payload(
+        pairs, records.select(F.col(id_col).alias("id"), text_col), [text_col]
+    )
+    return fat.select(
+        "id_a", "id_b", dist_fn(f"{text_col}_a", f"{text_col}_b", k).alias("dist")
+    ).where(F.col("dist") <= k)

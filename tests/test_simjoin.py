@@ -70,3 +70,86 @@ def test_log_bands_rejects_bad_p():
 
     with pytest.raises(ValueError):
         log_length_bands(F.lit(5), 1.0)
+
+
+def _brute_pairs(rows, k, dist):
+    exp = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1 :]:
+            d = dist(ta, tb)
+            if d <= k:
+                exp[(ia, ib)] = d
+    return exp
+
+
+def test_edit_distance_self_join_matches_bruteforce_levenshtein(spark):
+    """Ed-Join prefix-filter candidates + verification == brute force, on a
+    corpus that stresses every regime: strings below the short-block
+    threshold (len < k*q + q), mid-length near-dups with each edit type,
+    identical strings, and a hot block of strings sharing rare grams."""
+    from levenshtein_spark.operators.simjoin import edit_distance_self_join
+    from levenshtein_spark.oracle import levenshtein_matrix
+
+    rng = np.random.default_rng(7)
+    rows, rid = [], 0
+    for wl in (2, 4, 7, 12, 30, 60):
+        for _ in range(6):
+            base = random_word(rng, wl)
+            rows.append((rid, base)); rid += 1
+            for op in ("substitute", "delete", "insert"):
+                rows.append((rid, apply_edits(rng, base, int(rng.integers(1, 4)), op)))
+                rid += 1
+    rows.append((rid, "")); rid += 1          # empty string
+    rows.append((rid, "")); rid += 1          # duplicate empty
+    rows.append((rid, rows[0][1])); rid += 1  # exact duplicate
+    k, q = 2, 3
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_self_join(
+            df, "text", k=k, q=q, hot_threshold=20, num_salts=4
+        ).collect()
+    }
+    exp = _brute_pairs(
+        rows, k, lambda a, b: levenshtein_matrix(a.encode(), b.encode())
+    )
+    assert got == exp
+    assert len(exp) >= 10  # non-vacuous
+
+
+def test_edit_distance_self_join_matches_bruteforce_osa(spark):
+    """Transpositions mode: per-edit gram damage rises to q+1 (a swap
+    touches q+1 grams), so the prefix widens — pinned against the OSA
+    full-matrix oracle including planted adjacent swaps."""
+    from levenshtein_spark.operators.simjoin import edit_distance_self_join
+    from levenshtein_spark.oracle import osa_matrix
+
+    rng = np.random.default_rng(13)
+    rows, rid = [], 0
+    for wl in (3, 8, 20, 40):
+        for _ in range(8):
+            base = random_word(rng, wl)
+            rows.append((rid, base)); rid += 1
+            rows.append((rid, apply_edits(rng, base, int(rng.integers(1, 3)), "transpose")))
+            rid += 1
+    k, q = 2, 2
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_self_join(
+            df, "text", k=k, q=q, transpositions=True, hot_threshold=20, num_salts=4
+        ).collect()
+    }
+    exp = _brute_pairs(rows, k, lambda a, b: osa_matrix(a.encode(), b.encode()))
+    assert got == exp
+    assert len(exp) >= 8
+
+
+def test_edit_distance_self_join_rejects_bad_params(spark):
+    from levenshtein_spark.operators.simjoin import edit_distance_self_join
+
+    df = spark.createDataFrame([(0, "x")], "id long, text string")
+    with pytest.raises(ValueError):
+        edit_distance_self_join(df, "text", k=-1)
+    with pytest.raises(ValueError):
+        edit_distance_self_join(df, "text", k=1, q=0)
