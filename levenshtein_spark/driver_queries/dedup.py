@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from levenshtein_spark.driver_queries import tbl
 from levenshtein_spark.functions.hashing import (
     hamming64,
+    minhash_band_table,
     simhash_segment_keys,
 )
 from levenshtein_spark.functions.text import char_shingles, word_bigrams
@@ -47,34 +48,12 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _doc_band_keys(d: DataFrame) -> DataFrame:
-    """(doc_id, band_key) rows — same math as minhash_signature/
-    minhash_band_keys, reformulated as explode → flat md5 columns → groupBy
-    min. The array-expression form nests higher-order functions (interpreted,
-    not codegen) and Catalyst re-inlines the whole signature into every band
-    key — 8 slots × 4 keys × interpreted transform was ~44 ms/doc; the flat
-    form is whole-stage-codegen end to end with one map-side-combining
-    shuffle on doc_id (~50x faster, and the shape that survives web scale:
-    no per-doc gram array ever materializes in an expression).
-    """
-    rows = 2  # rows per band (_NUM_HASHES // _BANDS)
-    g = d.select("doc_id", F.explode_outer(word_bigrams(F.col("text"))).alias("g"))
-    hashed = g.select(
-        "doc_id",
-        *[
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}\x1f"), F.col("g"))), 1, 15), 16, 10)
-            .cast("long")
-            .alias(f"h{i}")
-            for i in range(_NUM_HASHES)
-        ],
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(_NUM_HASHES)]
-    )
-    keys = []
-    for b in range(_BANDS):
-        part = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
-        keys.append(F.concat(F.lit(f"b{b}:"), F.md5(F.concat_ws("_", *part))))
-    return sig.select("doc_id", F.explode(F.array(*keys)).alias("band_key"))
+    """(doc_id, band_key) rows via the flat-codegen band builder
+    (functions.hashing.minhash_band_table — see its docstring for why the
+    flat form beats the array-expression form ~50x)."""
+    return minhash_band_table(
+        d, "doc_id", word_bigrams(F.col("text")), _NUM_HASHES, _BANDS
+    ).select(F.col("id").alias("doc_id"), "band_key")
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:

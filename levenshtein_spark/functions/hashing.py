@@ -68,6 +68,44 @@ def minhash_band_keys(signature, bands: int, rows_per_band: int) -> Column:
     return F.array(*keys)
 
 
+def minhash_band_table(
+    df, id_col: str, grams, num_hashes: int = 8, bands: int = 4
+) -> "DataFrame":  # noqa: F821
+    """(id, band_key) rows — the same math as ``minhash_signature`` +
+    ``minhash_band_keys``, reformulated for whole-stage codegen: explode the
+    grams, hash each occurrence once per slot as flat md5 columns, take the
+    per-slot min with ONE map-side-combining groupBy, then emit the band
+    keys. The array-expression form nests higher-order functions
+    (interpreted, not codegen) and Catalyst re-inlines the signature into
+    every band key — ~50x slower, and it materializes the per-doc gram array
+    inside an expression, which the flat form never does.
+
+    Portable (md5 family): bit-identical to the DuckDB oracle twin used by
+    the dedup_minhash driver query.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows = num_hashes // bands
+    g = df.select(F.col(id_col).alias("id"), F.explode_outer(_c(grams)).alias("g"))
+    hashed = g.select(
+        "id",
+        *[
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}\x1f"), F.col("g"))), 1, 15), 16, 10)
+            .cast("long")
+            .alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    keys = []
+    for b in range(bands):
+        part = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+        keys.append(F.concat(F.lit(f"b{b}:"), F.md5(F.concat_ws("_", *part))))
+    return sig.select("id", F.explode(F.array(*keys)).alias("band_key"))
+
+
 def simhash64(tokens) -> Column:
     """64-bit SimHash (as long) over an array<string> column.
 

@@ -14,7 +14,6 @@ recomputes everything.
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -30,6 +29,7 @@ from levenshtein_spark.operators.pairs import (
 )
 from levenshtein_spark.operators.scoring import edges as edges_of
 from levenshtein_spark.operators.scoring import score_pairs
+from levenshtein_spark.plans.stages import run_stage as _stage
 from levenshtein_spark.sources.tables import Warehouse
 
 
@@ -48,29 +48,6 @@ class LinkageConfig:
     adaptive_target_rows: int | None = None
     force: bool = False
     stage_times: dict = field(default_factory=dict)
-
-
-def _metrics(df: DataFrame, stage: str) -> DataFrame:
-    """Per-partition lineage counters for a stage (north_rule requirement)."""
-    return (
-        df.withColumn("part", F.spark_partition_id())
-        .groupBy("part")
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .withColumn("stage", F.lit(stage))
-    )
-
-
-def _stage(wh: Warehouse, cfg: LinkageConfig, name: str, build) -> DataFrame:
-    """Compute-or-resume one stage; persist data + metrics tables."""
-    if not cfg.force and wh.exists(name):
-        return wh.read(name)
-    t0 = time.perf_counter()
-    df = build()
-    wh.write(df, name)
-    out = wh.read(name)
-    wh.write(_metrics(out, name), f"metrics_{name}")
-    cfg.stage_times[name] = time.perf_counter() - t0
-    return out
 
 
 def run_linkage(spark: SparkSession, source: DataFrame, cfg: LinkageConfig) -> dict:
