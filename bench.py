@@ -59,12 +59,6 @@ def main() -> None:
     times: dict[str, float] = {}
     detail: dict[str, float] = {}
 
-    def clock(name: str, fn) -> object:
-        t0 = time.perf_counter()
-        out = fn()
-        times[name] = round(time.perf_counter() - t0, 3)
-        return out
-
     def clock_min(name: str, fn, runs: int = 2) -> None:
         """Best-of-N for floor measurements: this host swings up to 4x
         between identical runs (thermal/contention + occasional Python
@@ -95,22 +89,39 @@ def main() -> None:
     clock_min("link_pipeline", run_pipeline)
     detail["clusters"] = float(n_clusters[0])
 
-    # q2: documents blocking + salted candidate pairs (cache pairs for q3)
-    norm = normalize(docs_as_code_files(spark, sf_dir), prefix_len=_PREFIX)
-    # hot_threshold low enough that the big length-band blocks route through
-    # the lossless triangle-salted join — the skew path is part of the bench
-    slim_pairs = candidate_pairs(
-        exploded_blocks(norm, len_band=_LEN_BAND).persist(), hot_threshold=50, num_salts=8
-    )
+    # q2: documents blocking + salted candidate pairs (cache pairs for q3),
+    # best-of-2 full rebuilds like q1 (clearCache between, so each run pays
+    # the whole blocking+join+materialization path — single-measured r02
+    # runs absorbed first-touch page-cache/codegen costs of up to 4x on a
+    # thermally-loaded host; the warm floor is the steady-state number)
     from pyspark import StorageLevel
 
-    # MEMORY_AND_DISK_DESER with an explicit count(): the projection is two
-    # 64-char columns (~50 MB at sf0.1), so materialization cannot be evicted
-    # mid-bench; the count IS the honest pair-generation time.
-    pairs = attach_pair_payload(slim_pairs, norm, ["content_prefix"]).select(
-        "content_prefix_a", "content_prefix_b"
-    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    n_pairs = clock("doc_block_pairs", pairs.count)
+    def build_pairs():
+        norm = normalize(docs_as_code_files(spark, sf_dir), prefix_len=_PREFIX)
+        # hot_threshold low enough that the big length-band blocks route
+        # through the lossless triangle-salted join — the skew path is part
+        # of the bench
+        slim_pairs = candidate_pairs(
+            exploded_blocks(norm, len_band=_LEN_BAND).persist(),
+            hot_threshold=50,
+            num_salts=8,
+        )
+        # MEMORY_AND_DISK_DESER with an explicit count(): the projection is
+        # two 64-char columns (~50 MB at sf0.1), so materialization cannot
+        # be evicted mid-bench; the count IS the honest pair-generation time.
+        return attach_pair_payload(slim_pairs, norm, ["content_prefix"]).select(
+            "content_prefix_a", "content_prefix_b"
+        ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+
+    state: dict = {}
+
+    def run_pairs() -> None:
+        spark.catalog.clearCache()
+        state["pairs"] = build_pairs()
+        state["n"] = state["pairs"].count()
+
+    clock_min("doc_block_pairs", run_pairs)
+    pairs, n_pairs = state["pairs"], state["n"]
     detail["candidate_pairs"] = float(n_pairs)
 
     # q2b: Arrow round-trip floor (reference noop, src/noop.cpp:1-8).
@@ -169,8 +180,8 @@ def main() -> None:
         detail[f"kernel_{key}"] = float(kstats[key])
     pairs.unpersist()
 
-    # q4: closest-match window arg-min
-    clock("closest_match", lambda: q_min_edit_dist(spark, sf_dir).count())
+    # q4: closest-match arg-min aggregation, best-of-2 (stateless query)
+    clock_min("closest_match", lambda: q_min_edit_dist(spark, sf_dir).count())
 
     total = round(sum(times.values()), 3)
     print(
