@@ -107,10 +107,42 @@ def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row corpus scorecard: doc/token totals, vocabulary size, and
+    exact length percentiles — the summary a curation run reports before
+    and after each stage. Two 1-row aggregates (documents-level and the
+    exploded vocabulary count) crossJoined; Spark's exact ``percentile``
+    is bit-identical to DuckDB's ``quantile_cont`` (linear interpolation
+    over the sorted values)."""
+    d = tbl(spark, sf, "documents")
+    doc_stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.percentile("n_chars", 0.5).alias("p50_chars"),
+        F.percentile("n_chars", 0.9).alias("p90_chars"),
+        F.percentile("n_chars", 0.99).alias("p99_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    vocab = d.select(F.explode(word_tokens(F.col("text"))).alias("w")).agg(
+        F.countDistinct("w").alias("vocab_size")
+    )
+    return doc_stats.crossJoin(F.broadcast(vocab)).select(
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 6).alias("avg_tokens"),
+        "p50_chars",
+        "p90_chars",
+        "p99_chars",
+        "n_langs",
+        "vocab_size",
+    )
+
+
 QUERIES = {
     "sample_split": q_sample_split,
     "pack_shards": q_pack_shards,
     "bm25_search": q_bm25_search,
+    "corpus_profile": q_corpus_profile,
 }
 
 
@@ -174,4 +206,23 @@ SELECT doc_id, n_tokens,
 FROM (SELECT doc_id, CAST(len({_DD_WS}) AS BIGINT) AS n_tokens FROM documents) t
 """,
     "bm25_search": _dd_bm25(),
+    "corpus_profile": f"""
+WITH ds AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_DD_WS})) AS BIGINT) AS total_tokens,
+         quantile_cont(n_chars, 0.5) AS p50_chars,
+         quantile_cont(n_chars, 0.9) AS p90_chars,
+         quantile_cont(n_chars, 0.99) AS p99_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents
+),
+v AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest({_DD_WORDS}) AS w FROM documents) t
+)
+SELECT n_docs, total_tokens,
+       round(total_tokens * 1.0 / n_docs, 6) AS avg_tokens,
+       p50_chars, p90_chars, p99_chars, n_langs, vocab_size
+FROM ds, v
+""",
 }
