@@ -26,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from levenshtein_spark.driver_queries import tbl
+from levenshtein_spark.functions.hashing import hash_bucket
 from levenshtein_spark.functions.text import token_count, word_tokens
 from levenshtein_spark.operators.packing import pack_by_budget
 
@@ -36,17 +37,11 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def _hash_bucket(id_col) -> F.Column:
-    """Deterministic bucket in [0, 100): md5 of the decimal id string —
-    portable across Spark/DuckDB (same family as functions/hashing.py)."""
-    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast("long")
-    return F.pmod(h, F.lit(100))
-
-
 def q_sample_split(spark: SparkSession, sf: str) -> DataFrame:
-    """80/10/10 train/val/test assignment, a pure function of doc_id."""
+    """80/10/10 train/val/test assignment, a pure function of doc_id
+    (functions.hashing.hash_bucket — the portable md5 family)."""
     d = tbl(spark, sf, "documents")
-    bucket = _hash_bucket(F.col("doc_id"))
+    bucket = hash_bucket(F.col("doc_id"))
     split = F.lit("test")
     for name, ceiling in reversed(_SPLITS):
         split = F.when(bucket < ceiling, F.lit(name)).otherwise(split)

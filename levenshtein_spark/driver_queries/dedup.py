@@ -178,11 +178,14 @@ def q_dedup_prefix(spark: SparkSession, sf: str) -> DataFrame:
 
     Lossless fixed-width blocking: the prefix side keys on its first
     ``min(32, len)`` chars; the container side emits its prefixes at every
-    length L ≤ min(32, len) (≤ 32 keys/doc, constant fan-out). If A is a
-    proper prefix of B then key(A) = substr(B, 1, min(32, len_A)), which B
-    emits — so every true containment survives blocking; the equi-join
-    candidates are then verified exactly with startswith. Hot keys (a
-    mass-truncated page) route through the bipartite salted join.
+    length L ∈ [0, min(32, len)] (≤ 33 keys/doc, constant fan-out — the
+    L=0 empty key exists because an EMPTY document is a proper prefix of
+    everything, and its own block key is ''; the ''-block's prefix side
+    holds only empty docs, so its fan-out is bounded by their count). If A
+    is a proper prefix of B then key(A) = substr(B, 1, min(32, len_A)),
+    which B emits — so every true containment survives blocking; the
+    equi-join candidates are then verified exactly with startswith. Hot
+    keys (a mass-truncated page) route through the bipartite salted join.
     """
     d = tbl(spark, sf, "documents")
     base = d.select(
@@ -192,7 +195,7 @@ def q_dedup_prefix(spark: SparkSession, sf: str) -> DataFrame:
     b_blocks = base.select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.least(F.col("len"), F.lit(_PFX_KEY))),
+                F.sequence(F.lit(0), F.least(F.col("len"), F.lit(_PFX_KEY))),
                 lambda length: F.substr(F.col("text"), F.lit(1), length),
             )
         ).alias("block_key"),

@@ -166,7 +166,7 @@ _EDJ_PLEN = 32
 def q_edjoin_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance self-join via the Ed-Join prefix-filter generator
     (operators/simjoin.py edit_distance_self_join): all document pairs whose
-    {_EDJ_PLEN}-char prefixes are within Levenshtein distance {_EDJ_K}.
+    32-char prefixes (_EDJ_PLEN) are within Levenshtein distance 2 (_EDJ_K).
 
     The content-based complement to similarity_join_docs' length banding —
     candidates must share one of each string's k·q+1 RAREST q-grams, so a

@@ -30,6 +30,14 @@ def hash64(col, seed: int = 0) -> Column:
     return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
 
 
+def hash_bucket(col, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): the split-assignment primitive
+    (a train/val/test split must be a pure function of the record id,
+    reproducible in the SQL oracle — never ``rand()``). Portable md5 family
+    over the id's decimal string."""
+    return F.pmod(hash64(_c(col).cast("string")), F.lit(buckets))
+
+
 def sha256_hex(col) -> Column:
     """Content fingerprint — the per-row invariant column (input_hint)."""
     return F.sha2(_c(col).cast("string"), 256)

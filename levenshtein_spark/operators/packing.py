@@ -5,14 +5,23 @@ training sequence / file); the assignment must be a deterministic function of
 the global document order so re-runs (and the DuckDB oracle) agree exactly.
 The core primitive is a distributed prefix sum over a total order — the same
 range-partition + per-partition-aggregate + offset-broadcast shape as
-``operators.snm.global_rank`` (which is the count-valued special case).
+``operators.snm.global_rank`` (which is the count-valued special case) —
+optionally RESET per group (e.g. one independent token stream per
+train/val/test split), so multi-group packing is one pass, not one pass per
+group.
 
-Scale shape: one range-exchange shuffle, one per-partition sort, and a
-partition-count-sized offset table collected to the driver and broadcast
-back. Nothing driver-side grows with the row count, and no single-partition
-window exists anywhere (the naive ``Window.orderBy(...)`` with no
-partitionBy funnels the whole table through one task — the exact
-anti-pattern this module replaces).
+Scale shape: one range-exchange shuffle, one per-partition sort, and an
+offset table of ``partitions × groups`` rows collected to the driver and
+broadcast back (``group_cols`` must therefore be low-cardinality — splits,
+languages, shard families; never a per-document key). Nothing driver-side
+grows with the row count, and no single-partition window exists anywhere
+(the naive ``Window.orderBy(...)`` with no partitionBy funnels the whole
+table through one task — the exact anti-pattern this module replaces).
+
+Cache note: the range-partitioned projection is persisted because the
+offset census and the output plan must see the SAME sampled partition cuts.
+Spark's CacheManager keys cache entries by canonicalized plan, so repeated
+calls over the same input reuse one entry rather than accumulating.
 """
 
 from __future__ import annotations
@@ -26,34 +35,44 @@ def global_prefix_sum(
     order_cols: list[str],
     value_col: str,
     out_col: str = "cum",
+    group_cols: list[str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append the inclusive running sum of ``value_col`` under the total
-    order ``order_cols`` (which must be a unique tuple per row — append a
-    unique id as the last column; uniqueness makes the result independent of
-    where the range partitioner cuts).
+    order ``group_cols + order_cols``, restarting at every group boundary
+    (no groups = one global stream). ``order_cols`` must be unique per row
+    within its group (append a unique id as the last column) — uniqueness
+    makes the result independent of where the range partitioner cuts.
 
-    Driver-side data: one (partition, sum) row per partition.
+    Driver-side data: one (partition, group, sum) row per partition×group.
     """
-    cols = [F.col(c) for c in order_cols]
+    group_cols = group_cols or []
+    cols = [F.col(c) for c in [*group_cols, *order_cols]]
     part = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
     part = part.withColumn("_pid", F.spark_partition_id())
     # Persist so the offset census and the final plan see the SAME partition
     # cuts (the range partitioner samples; two separate computations could
     # legally choose different boundaries).
     part = part.persist()
-    sums = sorted(
-        (r["_pid"], r["s"])
-        for r in part.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
+    rows = part.groupBy("_pid", *group_cols).agg(F.sum(value_col).alias("_s")).collect()
+    # offsets: for each group, the sum of that group's values in EARLIER
+    # partitions (range partitioning keeps each group's rows contiguous,
+    # but a group may span a cut, hence per-(pid, group) accounting)
+    acc: dict = {}
+    offsets = []
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        key = tuple(r[c] for c in group_cols)
+        offsets.append((r["_pid"], *key, acc.get(key, 0)))
+        acc[key] = acc.get(key, 0) + int(r["_s"] or 0)
+    schema_groups = "".join(
+        f", {c} {dict(df.dtypes)[c]}" for c in group_cols
     )
-    offsets, acc = [], 0
-    for pid, s in sums:
-        offsets.append((pid, acc))
-        acc += int(s or 0)
-    off = df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
-    w = Window.partitionBy("_pid").orderBy(*cols)
+    off = df.sparkSession.createDataFrame(
+        offsets, f"_pid int{schema_groups}, _offset long"
+    )
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*[F.col(c) for c in order_cols])
     return (
-        part.join(F.broadcast(off), "_pid")
+        part.join(F.broadcast(off), ["_pid", *group_cols])
         .withColumn(out_col, F.sum(value_col).over(w) + F.col("_offset"))
         .drop("_pid", "_offset")
     )
@@ -65,22 +84,27 @@ def pack_by_budget(
     tokens_col: str,
     budget: int,
     shard_col: str = "shard_id",
+    group_cols: list[str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Assign each row to a token-budget shard by its START offset in the
-    globally ordered token stream: ``shard = floor((cum - tokens) / budget)``.
+    ordered token stream (per group when ``group_cols`` is given — e.g. one
+    independent shard sequence per split): ``shard = floor((cum - tokens) /
+    budget)``.
 
     Start-offset packing is the streaming-friendly convention (a document
     never moves a later document's shard backwards) and is exactly
-    reproducible in ANSI SQL as ``floor((sum(t) OVER (ORDER BY ...) - t) /
-    budget)``, which is what the driver oracle runs. Documents longer than
-    the budget simply span shards conceptually; the assignment stays
-    deterministic.
+    reproducible in ANSI SQL as ``floor((sum(t) OVER (PARTITION BY groups
+    ORDER BY ...) - t) / budget)``, which is what the driver oracle runs.
+    Documents longer than the budget simply span shards conceptually; the
+    assignment stays deterministic.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    out = global_prefix_sum(df, order_cols, tokens_col, out_col="_cum",
-                            num_partitions=num_partitions)
+    out = global_prefix_sum(
+        df, order_cols, tokens_col, out_col="_cum",
+        group_cols=group_cols, num_partitions=num_partitions,
+    )
     return out.withColumn(
         shard_col,
         F.floor((F.col("_cum") - F.col(tokens_col)) / F.lit(budget)).cast("long"),

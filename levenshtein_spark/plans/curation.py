@@ -30,8 +30,13 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from levenshtein_spark.functions.hashing import minhash_band_table
-from levenshtein_spark.functions.text import quality_score, token_count, word_bigrams
+from levenshtein_spark.functions.hashing import hash_bucket, minhash_band_table
+from levenshtein_spark.functions.text import (
+    quality_score,
+    token_count,
+    word_bigrams,
+    word_tokens,
+)
 from levenshtein_spark.operators.clustering import cluster_labels
 from levenshtein_spark.operators.packing import pack_by_budget
 from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
@@ -56,23 +61,16 @@ class CurationConfig:
     stage_times: dict = field(default_factory=dict)
 
 
-def _hash_bucket(id_col) -> F.Column:
-    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast("long")
-    return F.pmod(h, F.lit(100))
-
-
 def run_curation(spark: SparkSession, docs: DataFrame, cfg: CurationConfig) -> dict:
     """Run (or resume) the curation pipeline over a documents table
     (doc_id, text, ...); returns handles to every stage."""
     wh = Warehouse(spark, cfg.checkpoint_dir)
 
     def build_profiled() -> DataFrame:
-        toks = word_bigrams(F.col("text"))
         # top-word fraction needs a per-(doc, word) count — map-side
         # combining aggregations, same shape as driver_queries.text
         words = (
-            docs.select("doc_id", F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("w"))
-            .where(F.col("w") != "")
+            docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("w"))
             .groupBy("doc_id", "w")
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("doc_id")
@@ -156,26 +154,23 @@ def run_curation(spark: SparkSession, docs: DataFrame, cfg: CurationConfig) -> d
         lambda: canon.select(
             "doc_id",
             "n_tokens",
-            F.when(_hash_bucket(F.col("doc_id")) < cfg.train_below, "train")
-            .when(_hash_bucket(F.col("doc_id")) < cfg.val_below, "val")
+            F.when(hash_bucket(F.col("doc_id")) < cfg.train_below, "train")
+            .when(hash_bucket(F.col("doc_id")) < cfg.val_below, "val")
             .otherwise("test")
             .alias("split"),
         ),
     )
 
-    def build_shards() -> DataFrame:
-        parts = []
-        for s in ("train", "val", "test"):
-            packed = pack_by_budget(
-                splits.where(F.col("split") == s), ["doc_id"], "n_tokens", cfg.shard_budget
-            )
-            parts.append(packed.select("doc_id", "n_tokens", "split", "shard_id"))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    shards = run_stage(wh, cfg, "shards", build_shards)
+    # one grouped prefix-sum pass packs all three splits (each split is an
+    # independent token stream / shard sequence)
+    shards = run_stage(
+        wh,
+        cfg,
+        "shards",
+        lambda: pack_by_budget(
+            splits, ["doc_id"], "n_tokens", cfg.shard_budget, group_cols=["split"]
+        ).select("doc_id", "n_tokens", "split", "shard_id"),
+    )
 
     # per-row invariant: surviving docs' content fingerprint equals a fresh
     # recompute from source (nothing mutated text along the way)

@@ -49,6 +49,26 @@ def test_pack_by_budget_start_offset_semantics(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 4}
 
 
+def test_grouped_prefix_sum_resets_per_group(spark):
+    """group_cols packing: each group is an independent stream, equal to the
+    per-group single-partition window, even when the range partitioner puts
+    a group boundary mid-partition."""
+    rows = [(i, ["a", "b", "c"][i % 3], (i * 7) % 11 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, grp string, n long")
+    got = {
+        (r["grp"], r["id"]): r["cum"]
+        for r in global_prefix_sum(
+            df, ["id"], "n", group_cols=["grp"], num_partitions=7
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r["grp"], r["id"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("n").over(w)).collect()
+    }
+    assert got == want
+
+
 def test_pack_by_budget_rejects_bad_budget(spark):
     with pytest.raises(ValueError):
         pack_by_budget(_tokens_df(spark, [1]), ["id"], "n", 0)
@@ -69,6 +89,8 @@ def test_dedup_prefix_matches_brute_force_incl_short_docs(spark, tmp_path):
         5: "x" * 60,                  # shares full 32-char key with 4
         6: "x" * 40 + "y",            # contains 4, shares key with 4/5
         7: "zq",                      # no relation
+        29: "",                       # empty text: proper prefix of EVERYTHING
+        30: "",                       # second empty: not a proper prefix of 29
     }
     # a hot prefix block: many docs starting with the same 32+ chars
     base = "hot prefix block " + "p" * 30
@@ -96,7 +118,9 @@ def test_dedup_prefix_matches_brute_force_incl_short_docs(spark, tmp_path):
     }
     assert got == want
     assert (28, 8) in got and (0, 1) in got and (4, 6) in got
+    assert (29, 1) in got                            # empty doc is a prefix of all
     assert (1, 2) not in got and (2, 1) not in got  # equal text excluded
+    assert (29, 30) not in got and (30, 29) not in got  # empty == empty excluded
 
 
 def test_text_repetition_pinned_values(spark, tmp_path):
