@@ -111,6 +111,63 @@ def q_daily_event_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured handling: pull a typed field out of the JSON props
+    column and aggregate it — the schema-on-read path every event lake
+    needs (get_json_object stays whole-stage-codegen; no UDF)."""
+    e = tbl(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_pricing_rollup_subtotals(spark: SparkSession, sf: str) -> DataFrame:
+    """OLAP ROLLUP: pricing summary with per-flag subtotals and a grand
+    total (the GROUPING SETS family). Group keys are coalesced to 'ALL' so
+    both engines agree on subtotal markers; the measures are exact-integer-
+    valued sums (order-insensitive across engines)."""
+    li = tbl(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: customer ⋈ orders ⋈ lineitem ⋈ nation revenue
+    rollup — the multi-join plan Catalyst gets to reorder (small dims
+    broadcast, fact-fact join shuffles on the key)."""
+    c = tbl(spark, sf, "customer")
+    o = tbl(spark, sf, "orders")
+    li = tbl(spark, sf, "lineitem")
+    n = tbl(spark, sf, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(rev, 2).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 _SIM_P = 0.7
 # computed ONCE in Python and repr-injected into the SQL twin: the SQL
 # literal 0.3 parses to a DIFFERENT double than Python's 1 - 0.7, and
@@ -228,6 +285,9 @@ QUERIES = {
     "fuzzy_join_customers": q_fuzzy_join_customers,
     "events_sessionize": q_events_sessionize,
     "pricing_rollup": q_pricing_rollup,
+    "pricing_rollup_subtotals": q_pricing_rollup_subtotals,
+    "revenue_by_nation": q_revenue_by_nation,
+    "events_json_extract": q_events_json_extract,
     "top_customers_by_revenue": q_top_customers_by_revenue,
     "daily_event_stats": q_daily_event_stats,
 }
@@ -263,6 +323,31 @@ scored AS (
 )
 SELECT doc_a, doc_b, round(sim, 6) AS sim
 FROM scored WHERE sim >= {_SIM_P}
+""",
+    "events_json_extract": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+    "pricing_rollup_subtotals": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "revenue_by_nation": """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
 """,
     # brute-force twin: the prefix-filter blocking is exact (count-filter
     # lemma), so blocked-and-verified == all-pairs
