@@ -20,7 +20,12 @@ def get_spark(
     app_name: str = "levenshtein_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_size: int = 10_000,
+    # 50k rows/batch doubles kernel scoring throughput vs 10k (424k vs 190k
+    # pairs/s on the 406k-pair sf0.1 mix, best-of-3 fresh JVMs; 200k adds
+    # nothing) — per-batch Python/Arrow overhead amortizes while peak worker
+    # memory stays ~25 MB for two 256-byte string columns. The kernel chunks
+    # internally by cell budget, so batch size never multiplies DP memory.
+    arrow_batch_size: int = 50_000,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
