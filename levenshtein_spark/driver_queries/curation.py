@@ -133,11 +133,99 @@ def q_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DECON_SRC = "src0"  # the held-out "benchmark" slice
+_DECON_N = 8         # word shingle width
+
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+_PII_SSN = r"\d{3}-\d{2}-\d{4}"
+
+
+def _word_shingles(words, n: int) -> F.Column:
+    """Word n-gram shingles (space-joined); docs shorter than n words yield
+    one shingle = the whole doc (mirrors rolling_fingerprint's gram rule)."""
+    size = F.size(words)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    {n}-token shingle with the held-out benchmark slice (source = src0) —
+    the step that keeps eval sets out of a training corpus.
+
+    Plan shape: shingles explode per doc; the benchmark's DISTINCT shingle
+    set joins in (broadcast when small, plain equi-join at scale); the
+    per-doc hit count is a map-side-combining aggregation. No UDFs,
+    verification-free (exact shingle equality).
+    """
+    d = tbl(spark, sf, "documents")
+    from levenshtein_spark.functions.text import word_tokens as _wt
+
+    g = d.select(
+        "doc_id", "source",
+        F.explode(_word_shingles(_wt(F.col("text")), _DECON_N)).alias("g"),
+    )
+    bench = g.where(F.col("source") == _DECON_SRC).select("g").distinct()
+    hits = (
+        g.where(F.col("source") != _DECON_SRC)
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+    )
+    return (
+        d.where(F.col("source") != _DECON_SRC)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def q_text_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction: email / US-phone / SSN patterns replaced with typed
+    placeholders. The corpus is synthetic and clean, so a deterministic
+    slice (doc_id % 5 == 0) gets PII planted first — the redactor must
+    remove exactly that and nothing else. Patterns are chosen to mean the
+    same thing in Java regex (Spark) and RE2 (DuckDB), and applied in a
+    fixed order (email, phone, SSN) in both engines.
+    """
+    d = tbl(spark, sf, "documents")
+    planted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.com ph 555-123-"),
+            F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>",
+        ),
+        _PII_SSN, "<SSN>",
+    )
+    return d.select(
+        "doc_id",
+        (red != planted).alias("was_redacted"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
 QUERIES = {
     "sample_split": q_sample_split,
     "pack_shards": q_pack_shards,
     "bm25_search": q_bm25_search,
     "corpus_profile": q_corpus_profile,
+    "decontaminate": q_decontaminate,
+    "text_redact_pii": q_text_redact_pii,
 }
 
 
@@ -201,6 +289,48 @@ SELECT doc_id, n_tokens,
 FROM (SELECT doc_id, CAST(len({_DD_WS}) AS BIGINT) AS n_tokens FROM documents) t
 """,
     "bm25_search": _dd_bm25(),
+    "decontaminate": f"""
+WITH w AS (SELECT doc_id, source, {_DD_WORDS} AS w FROM documents),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(w) - {_DECON_N - 1}, 1) + 1),
+                               i -> array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' '))) AS g
+  FROM w
+),
+bench AS (SELECT DISTINCT g FROM g WHERE source = '{_DECON_SRC}'),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT g.g) AS n_shared
+  FROM g JOIN bench USING (g)
+  WHERE g.source <> '{_DECON_SRC}'
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+       coalesce(n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+WHERE d.source <> '{_DECON_SRC}'
+""",
+    "text_redact_pii": f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.com ph 555-123-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g'),
+         '{_PII_SSN}', '<SSN>', 'g') <> t AS was_redacted,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g'),
+         '{_PII_SSN}', '<SSN>', 'g')) AS redacted_md5
+FROM planted
+""",
     "corpus_profile": f"""
 WITH ds AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -142,3 +142,37 @@ def test_text_repetition_pinned_values(spark, tmp_path):
     # doc 2: words a,b,a,b -> top 0.5, dup 0.5; bigrams a_b,b_a,a_b -> top 2/3
     assert got[2]["word_top_frac"] == 0.5
     assert got[2]["bigram_top_frac"] == round(2 / 3, 6)
+
+
+def test_decontaminate_flags_planted_overlap(spark, tmp_path):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, bench_text, "en", "src0", len(bench_text)),           # benchmark
+        (1, "prefix words " + bench_text, "en", "src1", 10),      # contains an 8-gram of it
+        (2, "totally different words here no overlap at all now", "en", "src1", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from levenshtein_spark.driver_queries.curation import q_decontaminate
+
+    got = {r.doc_id: (r.n_shared, r.contaminated) for r in
+           q_decontaminate(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2}          # benchmark docs excluded from output
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[2] == (0, False)
+
+
+def test_redact_pii_planted_and_clean(spark, tmp_path):
+    rows = [
+        (5, "clean text without anything", "en", "s", 27),   # doc_id%5==0 -> planted
+        (7, "reach me at real.user@corp.org or 555-867-5309 or 078-05-1120", "en", "s", 60),
+        (11, "nothing to redact", "en", "s", 17),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from levenshtein_spark.driver_queries.curation import q_text_redact_pii
+
+    got = {r.doc_id: r.was_redacted for r in q_text_redact_pii(spark, str(tmp_path)).collect()}
+    assert got == {5: True, 7: True, 11: False}
