@@ -148,3 +148,32 @@ def test_windowed_counts_watermark_boundary_emits_on_equality(spark, tmp_path):
     # the [00:00,01:00) window (end == watermark) flushes; [01:00,02:00) and
     # the watermark-holding row's own window stay in state
     assert sorted(r["we"] for r in spark.table("wb_sink").collect()) == ["01:00"]
+
+
+def test_stream_ingest_exactly_once_across_restarts(spark, tmp_path):
+    """File-source checkpoint semantics the ingest front door relies on:
+    a restart re-processes nothing, new files land incrementally."""
+    from levenshtein_spark.streaming.ingest import run_ingest
+
+    src, dest, ckpt = (str(tmp_path / d) for d in ("src", "dest", "ckpt"))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    batch1 = [(i, f"first wave doc {i} with several words", "en", "s", 30) for i in range(8)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    sch = spark.read.parquet(src).schema
+    run_ingest(spark, src, dest, ckpt, sch, timeout_sec=120)
+    assert spark.read.parquet(dest).count() == 8
+
+    # restart with no new data: nothing re-processed, no duplicates
+    run_ingest(spark, src, dest, ckpt, sch, timeout_sec=120)
+    assert spark.read.parquet(dest).count() == 8
+
+    # a new file lands: exactly its rows appended
+    batch2 = [(100 + i, f"second wave doc {i}", "en", "s", 18) for i in range(3)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    run_ingest(spark, src, dest, ckpt, sch, timeout_sec=120)
+    out = spark.read.parquet(dest)
+    assert out.count() == 11
+    # the ingest projection landed its curation columns
+    assert {"fp", "n_tokens", "quality"} <= set(out.columns)
+    assert out.where("doc_id = 100").select("n_tokens").collect()[0][0] == 4
