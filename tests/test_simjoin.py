@@ -153,3 +153,45 @@ def test_edit_distance_self_join_rejects_bad_params(spark):
         edit_distance_self_join(df, "text", k=-1)
     with pytest.raises(ValueError):
         edit_distance_self_join(df, "text", k=1, q=0)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+if HAS_HYPOTHESIS:
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        texts=st.lists(st.text(min_size=0, max_size=14), min_size=2, max_size=25),
+        k=st.integers(min_value=0, max_value=3),
+        q=st.integers(min_value=1, max_value=4),
+    )
+    def test_edjoin_hypothesis_unicode(spark, texts, k, q):
+        """Arbitrary unicode corpora: the prefix-filter join must equal
+        brute force under the BYTE-based kernel even though the q-grams and
+        the short-block threshold are codepoint-based — valid because byte
+        edits >= codepoint edits, so byte-dist <= k implies codepoint-gram
+        damage <= k*q and the count-filter lemma still binds."""
+        from levenshtein_spark.operators.simjoin import edit_distance_self_join
+        from levenshtein_spark.oracle import levenshtein_matrix
+
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            (r.id_a, r.id_b): r.dist
+            for r in edit_distance_self_join(
+                df, "text", k=k, q=q, hot_threshold=10, num_salts=3
+            ).collect()
+        }
+        exp = {}
+        for i, (ia, ta) in enumerate(rows):
+            for ib, tb in rows[i + 1 :]:
+                d = levenshtein_matrix(ta.encode(), tb.encode())
+                if d <= k:
+                    exp[(ia, ib)] = d
+        assert got == exp
