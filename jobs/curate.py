@@ -33,9 +33,20 @@ def main() -> int:
     ap.add_argument("--num-salts", type=int, default=16)
     ap.add_argument("--master", default=None)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--incremental-batch", default=None, metavar="BATCH_ID",
+                    help="treat --source as an append-only delta of new docs "
+                         "curated against the checkpointed base (stages "
+                         "namespaced BATCH_ID_*)")
+    ap.add_argument("--base-prefix", default="",
+                    help="base table prefix for chained incremental batches "
+                         "(e.g. day1_all_)")
     args = ap.parse_args()
 
-    from levenshtein_spark.plans.curation import CurationConfig, run_curation
+    from levenshtein_spark.plans.curation import (
+        CurationConfig,
+        run_curation,
+        run_incremental_curation,
+    )
     from levenshtein_spark.session import get_spark
 
     spark = get_spark("curate", master=args.master)
@@ -55,16 +66,28 @@ def main() -> int:
         force=args.force,
     )
     t0 = time.perf_counter()
-    stages = run_curation(spark, docs, cfg)
-    counts = {
-        name: stages[name].count()
-        for name in ("profiled", "kept", "exact_canon", "canon", "shards")
-    }
+    if args.incremental_batch:
+        stages = run_incremental_curation(
+            spark, docs, cfg,
+            batch_id=args.incremental_batch,
+            base_prefix=args.base_prefix,
+        )
+        count_names = ("delta_profiled", "delta_kept", "delta_exact_canon",
+                       "canon", "shards")
+    else:
+        stages = run_curation(spark, docs, cfg)
+        count_names = ("profiled", "kept", "exact_canon", "canon", "shards")
+    counts = {name: stages[name].count() for name in count_names}
+    # retention = survivors / input; in incremental mode "input" is the
+    # merged corpus (all_profiled), not the delta
+    denom = counts[count_names[0]] if not args.incremental_batch else (
+        stages["all_profiled"].count()
+    )
     n_shards = stages["shards"].select("split", "shard_id").distinct().count()
     print(json.dumps({
         "wall_sec": round(time.perf_counter() - t0, 2),
         "stage_rows": counts,
-        "retention": round(counts["canon"] / max(counts["profiled"], 1), 4),
+        "retention": round(counts["canon"] / max(denom, 1), 4),
         "n_shards": n_shards,
         "stage_times": {k: round(v, 2) for k, v in cfg.stage_times.items()},
     }))

@@ -74,6 +74,85 @@ def test_curation_resume_skips_completed_stages(spark, tmp_path):
     assert a == b
 
 
+def _merged_docs(spark):
+    """Base corpus + an append-only delta (ids strictly above the base's):
+    a near-dup of a base doc, an exact dupe of a base doc, a fresh doc,
+    and a low-quality doc."""
+    base = _docs(spark)
+    delta_rows = [
+        (10, GOOD + " slightly extended by a delta arrival"),  # near-dup of 0
+        (11, GOOD2),                                           # exact dupe of 3
+        (12, "a completely fresh delta document with plenty of "
+             "ordinary words to pass the quality gate easily today"),
+        (13, "qq"),                                            # low quality
+    ]
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    return base, delta
+
+
+def test_incremental_curation_matches_full_batch(spark, tmp_path):
+    from levenshtein_spark.plans.curation import run_incremental_curation
+
+    base, delta = _merged_docs(spark)
+    cfg = _cfg(tmp_path)
+    run_curation(spark, base, cfg)
+    inc = run_incremental_curation(spark, delta, _cfg(tmp_path), batch_id="day1")
+
+    full = run_curation(spark, base.unionByName(delta), _cfg(tmp_path / "full"))
+    inc_shards = sorted(map(tuple, inc["shards"].collect()))
+    full_shards = sorted(map(tuple, full["shards"].collect()))
+    assert inc_shards == full_shards
+    inc_canon = sorted(r.doc_id for r in inc["canon"].collect())
+    full_canon = sorted(r.doc_id for r in full["canon"].collect())
+    assert inc_canon == full_canon
+    # the delta's quadratic work touched only delta-involved pairs
+    assert 13 not in {r.doc_id for r in inc["delta_kept"].collect()}
+
+
+def test_incremental_curation_chains_batches(spark, tmp_path):
+    from levenshtein_spark.plans.curation import run_incremental_curation
+
+    base, delta = _merged_docs(spark)
+    day2_rows = [(20, GOOD2 + " second day variation appended"),
+                 (21, "another brand new document arriving on day two with words")]
+    day2 = spark.createDataFrame(day2_rows, "doc_id long, text string")
+
+    run_curation(spark, base, _cfg(tmp_path))
+    run_incremental_curation(spark, delta, _cfg(tmp_path), batch_id="day1")
+    inc2 = run_incremental_curation(
+        spark, day2, _cfg(tmp_path), batch_id="day2", base_prefix="day1_all_"
+    )
+    full = run_curation(
+        spark, base.unionByName(delta).unionByName(day2), _cfg(tmp_path / "full2")
+    )
+    assert sorted(map(tuple, inc2["shards"].collect())) == sorted(
+        map(tuple, full["shards"].collect())
+    )
+
+
+def test_incremental_curation_guards(spark, tmp_path):
+    import pytest
+
+    from levenshtein_spark.plans.curation import run_incremental_curation
+
+    base, _ = _merged_docs(spark)
+    run_curation(spark, base, _cfg(tmp_path))
+    overlapping = spark.createDataFrame([(0, GOOD)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="already exist"):
+        run_incremental_curation(spark, overlapping, _cfg(tmp_path), batch_id="bad1")
+    # disjoint id BELOW the base's max: min-id survivorship would re-elect
+    # canonicals, so the append-only guard must fire (gapped base: 0,2,4)
+    gapped = spark.createDataFrame(
+        [(0, GOOD), (2, GOOD2), (4, GOOD + " tail")], "doc_id long, text string"
+    )
+    run_curation(spark, gapped, _cfg(tmp_path / "gapped"))
+    low_id = spark.createDataFrame(
+        [(1, "perfectly reasonable new words")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        run_incremental_curation(spark, low_id, _cfg(tmp_path / "gapped"), batch_id="bad2")
+
+
 def test_curation_resume_mid_pipeline(spark, tmp_path):
     """Kill-after-stage-N: drop the later stage tables and re-run — the
     early stages resume from the warehouse, the rest recompute, and the
