@@ -141,16 +141,6 @@ _PII_PHONE = r"\d{3}-\d{3}-\d{4}"
 _PII_SSN = r"\d{3}-\d{2}-\d{4}"
 
 
-def _word_shingles(words, n: int) -> F.Column:
-    """Word n-gram shingles (space-joined); docs shorter than n words yield
-    one shingle = the whole doc (mirrors rolling_fingerprint's gram rule)."""
-    size = F.size(words)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
-
-
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     {n}-token shingle with the held-out benchmark slice (source = src0) —
@@ -159,15 +149,17 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     Plan shape: shingles explode per doc; the benchmark's DISTINCT shingle
     set joins in (broadcast when small, plain equi-join at scale); the
     per-doc hit count is a map-side-combining aggregation. No UDFs,
-    verification-free (exact shingle equality).
+    verification-free (exact shingle equality). The '' shingle a zero-token
+    document emits is filtered on BOTH engines — two token-less docs share
+    no content and must not count as contaminated.
     """
-    d = tbl(spark, sf, "documents")
-    from levenshtein_spark.functions.text import word_tokens as _wt
+    from levenshtein_spark.functions.text import word_ngrams
 
+    d = tbl(spark, sf, "documents")
     g = d.select(
         "doc_id", "source",
-        F.explode(_word_shingles(_wt(F.col("text")), _DECON_N)).alias("g"),
-    )
+        F.explode(word_ngrams(F.col("text"), _DECON_N, " ")).alias("g"),
+    ).where(F.col("g") != "")
     bench = g.where(F.col("source") == _DECON_SRC).select("g").distinct()
     hits = (
         g.where(F.col("source") != _DECON_SRC)
@@ -292,10 +284,12 @@ FROM (SELECT doc_id, CAST(len({_DD_WS}) AS BIGINT) AS n_tokens FROM documents) t
     "decontaminate": f"""
 WITH w AS (SELECT doc_id, source, {_DD_WORDS} AS w FROM documents),
 g AS (
-  SELECT doc_id, source,
-         unnest(list_transform(range(1, greatest(len(w) - {_DECON_N - 1}, 1) + 1),
-                               i -> array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' '))) AS g
-  FROM w
+  SELECT doc_id, source, g FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, greatest(len(w) - {_DECON_N - 1}, 1) + 1),
+                                 i -> array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' '))) AS g
+    FROM w
+  ) t WHERE g <> ''
 ),
 bench AS (SELECT DISTINCT g FROM g WHERE source = '{_DECON_SRC}'),
 hits AS (

@@ -28,16 +28,25 @@ def word_tokens(col) -> Column:
     )
 
 
+def word_ngrams(col, n: int, sep: str = "_") -> Column:
+    """Word n-gram shingles (array<string>) over the word tokens of ``col``.
+    Documents shorter than ``n`` tokens yield ONE shingle covering the whole
+    document (the short-doc rule every shingle consumer here shares); a
+    zero-token document yields one ``''`` shingle — consumers that must not
+    match empty docs filter it (see q_decontaminate)."""
+    toks = word_tokens(col)
+    size = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(sep, F.slice(toks, i, n)),
+    )
+
+
 def word_bigrams(col) -> Column:
     """Word-bigram shingles (array<string>, 'tok1_tok2') — the MinHash unit
     for content near-dup detection (unigram sets are too coarse on small
     vocabularies). A single-token document yields its token as the shingle."""
-    toks = word_tokens(col)
-    n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-        lambda i: F.concat_ws("_", F.slice(toks, i, 2)),
-    )
+    return word_ngrams(col, 2, "_")
 
 
 def token_count(col) -> Column:

@@ -47,6 +47,15 @@ def global_prefix_sum(
     Driver-side data: one (partition, group, sum) row per partition×group.
     """
     group_cols = group_cols or []
+    dtypes = dict(df.dtypes)
+    # integral only: a float prefix sum cannot be cut-independent (float
+    # addition is not associative), so truncating offsets would silently
+    # produce partitioning-dependent results — refuse instead
+    if dtypes[value_col] not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"value_col must be an integral type, got {dtypes[value_col]} — "
+            "float prefix sums are not partitioning-independent"
+        )
     cols = [F.col(c) for c in [*group_cols, *order_cols]]
     part = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
     part = part.withColumn("_pid", F.spark_partition_id())
@@ -65,16 +74,21 @@ def global_prefix_sum(
         offsets.append((r["_pid"], *key, acc.get(key, 0)))
         acc[key] = acc.get(key, 0) + int(r["_s"] or 0)
     schema_groups = "".join(
-        f", {c} {dict(df.dtypes)[c]}" for c in group_cols
+        f", _og_{i} {dtypes[c]}" for i, c in enumerate(group_cols)
     )
     off = df.sparkSession.createDataFrame(
-        offsets, f"_pid int{schema_groups}, _offset long"
+        offsets, f"_opid int{schema_groups}, _offset long"
     )
+    # null-safe join on the group columns: a NULL group value is a real
+    # group (an equi-join would silently drop every such row)
+    cond = F.col("_pid") == F.col("_opid")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_og_{i}"))
     w = Window.partitionBy("_pid", *group_cols).orderBy(*[F.col(c) for c in order_cols])
     return (
-        part.join(F.broadcast(off), ["_pid", *group_cols])
+        part.join(F.broadcast(off), cond)
         .withColumn(out_col, F.sum(value_col).over(w) + F.col("_offset"))
-        .drop("_pid", "_offset")
+        .drop("_pid", "_opid", "_offset", *[f"_og_{i}" for i in range(len(group_cols))])
     )
 
 

@@ -61,44 +61,67 @@ class CurationConfig:
     stage_times: dict = field(default_factory=dict)
 
 
+def _profile(docs: DataFrame) -> DataFrame:
+    """The per-doc profile projection — ONE definition shared by the batch
+    and incremental plans (their equivalence is pinned in tests; a change
+    applied to only one would silently diverge them).
+
+    top-word fraction needs a per-(doc, word) count — map-side combining
+    aggregations, same shape as driver_queries.text."""
+    words = (
+        docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.md5("text").alias("fp"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .join(words, "doc_id", "left")
+        .withColumn("top_word_frac", F.coalesce("top_word_frac", F.lit(0.0)))
+    )
+
+
+def _quality_gate(profiled: DataFrame, cfg: CurationConfig) -> DataFrame:
+    return profiled.where(
+        (F.col("quality") >= cfg.min_quality)
+        & (F.col("top_word_frac") <= cfg.max_top_word_frac)
+    )
+
+
+def _assign_splits(canon: DataFrame, cfg: CurationConfig) -> DataFrame:
+    return canon.select(
+        "doc_id",
+        "n_tokens",
+        F.when(hash_bucket(F.col("doc_id")) < cfg.train_below, "train")
+        .when(hash_bucket(F.col("doc_id")) < cfg.val_below, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _pack_shards(splits: DataFrame, cfg: CurationConfig) -> DataFrame:
+    # one grouped prefix-sum pass packs all splits (each split is an
+    # independent token stream / shard sequence)
+    return pack_by_budget(
+        splits, ["doc_id"], "n_tokens", cfg.shard_budget, group_cols=["split"]
+    ).select("doc_id", "n_tokens", "split", "shard_id")
+
+
 def run_curation(spark: SparkSession, docs: DataFrame, cfg: CurationConfig) -> dict:
     """Run (or resume) the curation pipeline over a documents table
     (doc_id, text, ...); returns handles to every stage."""
     wh = Warehouse(spark, cfg.checkpoint_dir)
 
-    def build_profiled() -> DataFrame:
-        # top-word fraction needs a per-(doc, word) count — map-side
-        # combining aggregations, same shape as driver_queries.text
-        words = (
-            docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("w"))
-            .groupBy("doc_id", "w")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("doc_id")
-            .agg((F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"))
-        )
-        return (
-            docs.select(
-                "doc_id",
-                "text",
-                F.md5("text").alias("fp"),
-                token_count(F.col("text")).cast("long").alias("n_tokens"),
-                quality_score(F.col("text")).alias("quality"),
-            )
-            .join(words, "doc_id", "left")
-            .withColumn("top_word_frac", F.coalesce("top_word_frac", F.lit(0.0)))
-        )
+    profiled = run_stage(wh, cfg, "profiled", lambda: _profile(docs))
 
-    profiled = run_stage(wh, cfg, "profiled", build_profiled)
-
-    kept = run_stage(
-        wh,
-        cfg,
-        "kept",
-        lambda: profiled.where(
-            (F.col("quality") >= cfg.min_quality)
-            & (F.col("top_word_frac") <= cfg.max_top_word_frac)
-        ),
-    )
+    kept = run_stage(wh, cfg, "kept", lambda: _quality_gate(profiled, cfg))
 
     # exact dedup: lowest doc_id survives per identical content
     exact_canon = run_stage(
@@ -147,30 +170,8 @@ def run_curation(spark: SparkSession, docs: DataFrame, cfg: CurationConfig) -> d
         .join(exact_canon, "doc_id"),
     )
 
-    splits = run_stage(
-        wh,
-        cfg,
-        "splits",
-        lambda: canon.select(
-            "doc_id",
-            "n_tokens",
-            F.when(hash_bucket(F.col("doc_id")) < cfg.train_below, "train")
-            .when(hash_bucket(F.col("doc_id")) < cfg.val_below, "val")
-            .otherwise("test")
-            .alias("split"),
-        ),
-    )
-
-    # one grouped prefix-sum pass packs all three splits (each split is an
-    # independent token stream / shard sequence)
-    shards = run_stage(
-        wh,
-        cfg,
-        "shards",
-        lambda: pack_by_budget(
-            splits, ["doc_id"], "n_tokens", cfg.shard_budget, group_cols=["split"]
-        ).select("doc_id", "n_tokens", "split", "shard_id"),
-    )
+    splits = run_stage(wh, cfg, "splits", lambda: _assign_splits(canon, cfg))
+    shards = run_stage(wh, cfg, "shards", lambda: _pack_shards(splits, cfg))
 
     # per-row invariant: surviving docs' content fingerprint equals a fresh
     # recompute from source (nothing mutated text along the way)
@@ -258,28 +259,10 @@ def run_incremental_curation(
             "canonicals and invalidate cached edges)"
         )
 
-    def build_delta_profiled() -> DataFrame:
-        words = (
-            delta_docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("w"))
-            .groupBy("doc_id", "w")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("doc_id")
-            .agg((F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"))
-        )
-        return (
-            delta_docs.select(
-                "doc_id",
-                "text",
-                F.md5("text").alias("fp"),
-                token_count(F.col("text")).cast("long").alias("n_tokens"),
-                quality_score(F.col("text")).alias("quality"),
-            )
-            .join(words, "doc_id", "left")
-            .withColumn("top_word_frac", F.coalesce("top_word_frac", F.lit(0.0)))
-        )
-
     resumed = wh.exists(f"{batch_id}_profiled")
-    delta_profiled = run_stage(wh, cfg, f"{batch_id}_profiled", build_delta_profiled)
+    delta_profiled = run_stage(
+        wh, cfg, f"{batch_id}_profiled", lambda: _profile(delta_docs)
+    )
     if resumed:
         fresh_ids = delta_docs.select("doc_id")
         stale = (
@@ -293,13 +276,7 @@ def run_incremental_curation(
             )
 
     delta_kept = run_stage(
-        wh,
-        cfg,
-        f"{batch_id}_kept",
-        lambda: delta_profiled.where(
-            (F.col("quality") >= cfg.min_quality)
-            & (F.col("top_word_frac") <= cfg.max_top_word_frac)
-        ),
+        wh, cfg, f"{batch_id}_kept", lambda: _quality_gate(delta_profiled, cfg)
     )
 
     # exact dedup vs base: append-only ids mean base canonicals never lose
@@ -372,25 +349,10 @@ def run_incremental_curation(
     )
 
     splits = run_stage(
-        wh,
-        cfg,
-        f"{batch_id}_splits",
-        lambda: canon.select(
-            "doc_id",
-            "n_tokens",
-            F.when(hash_bucket(F.col("doc_id")) < cfg.train_below, "train")
-            .when(hash_bucket(F.col("doc_id")) < cfg.val_below, "val")
-            .otherwise("test")
-            .alias("split"),
-        ),
+        wh, cfg, f"{batch_id}_splits", lambda: _assign_splits(canon, cfg)
     )
     shards = run_stage(
-        wh,
-        cfg,
-        f"{batch_id}_shards",
-        lambda: pack_by_budget(
-            splits, ["doc_id"], "n_tokens", cfg.shard_budget, group_cols=["split"]
-        ).select("doc_id", "n_tokens", "split", "shard_id"),
+        wh, cfg, f"{batch_id}_shards", lambda: _pack_shards(splits, cfg)
     )
     all_profiled = run_stage(
         wh,

@@ -74,6 +74,28 @@ def test_pack_by_budget_rejects_bad_budget(spark):
         pack_by_budget(_tokens_df(spark, [1]), ["id"], "n", 0)
 
 
+def test_prefix_sum_rejects_float_values(spark):
+    """Float prefix sums are not partitioning-independent (non-associative
+    addition) — the primitive must refuse rather than silently truncate."""
+    df = spark.createDataFrame([(0, 1.5), (1, 2.5)], "id long, n double")
+    with pytest.raises(ValueError, match="integral"):
+        global_prefix_sum(df, ["id"], "n")
+
+
+def test_grouped_prefix_sum_keeps_null_groups(spark):
+    """A NULL group value is a real group: rows must not vanish through the
+    offset join (null-safe equality, not an equi-join)."""
+    rows = [(0, None, 3), (1, "a", 5), (2, None, 4), (3, "a", 1), (4, None, 2)]
+    df = spark.createDataFrame(rows, "id long, grp string, n long")
+    got = {
+        r["id"]: r["cum"]
+        for r in global_prefix_sum(
+            df, ["id"], "n", group_cols=["grp"], num_partitions=3
+        ).collect()
+    }
+    assert got == {0: 3, 2: 7, 4: 9, 1: 5, 3: 6}
+
+
 # ---------------------------------------------------------------------------
 # dedup_prefix blocking losslessness on adversarial shapes the sf corpus
 # lacks: docs shorter than the 32-char key, mass-duplicated prefixes (hot
@@ -161,6 +183,23 @@ def test_decontaminate_flags_planted_overlap(spark, tmp_path):
     assert set(got) == {1, 2}          # benchmark docs excluded from output
     assert got[1][1] is True and got[1][0] >= 1
     assert got[2] == (0, False)
+
+
+def test_decontaminate_tokenless_docs_do_not_match(spark, tmp_path):
+    """Two token-less docs share no content; the '' shingle both emit must
+    not count as overlap."""
+    rows = [
+        (0, "!!!", "en", "src0", 3),   # benchmark, zero word tokens
+        (1, "???", "en", "src1", 3),   # training, zero word tokens
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from levenshtein_spark.driver_queries.curation import q_decontaminate
+
+    got = {r.doc_id: (r.n_shared, r.contaminated) for r in
+           q_decontaminate(spark, str(tmp_path)).collect()}
+    assert got == {1: (0, False)}
 
 
 def test_redact_pii_planted_and_clean(spark, tmp_path):

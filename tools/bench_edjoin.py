@@ -70,9 +70,13 @@ def main() -> int:
     # length banding on a uniform corpus: one band -> full cross product
     length_band_candidates = n * (n - 1) // 2
 
-    # Ed-Join candidates (the operator's internals, pre-verification)
+    # Ed-Join candidates (the operator's internals, pre-verification),
+    # INCLUDING its short-string block — for word_len < k*q + q the prefix
+    # filter is vacuous and the operator routes rows there, so omitting it
+    # would overstate the reduction at small --word-len
     damage = args.q
     prefix_len = args.k * damage + 1
+    short_len = args.k * damage + args.q
     grams = df.select("id", F.explode(_positional_qgrams(F.col("text"), args.q)).alias("g"))
     census = grams.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
     ranked = grams.join(census, "g").withColumn(
@@ -81,7 +85,10 @@ def main() -> int:
     keys = ranked.where(F.col("r") <= prefix_len).select(
         F.concat(F.lit("eg|"), F.col("g")).alias("block_key"), "id"
     )
-    edjoin_candidates = candidate_pairs(keys, 2000, 16).count()
+    short_keys = df.where(F.length("text") < short_len).select(
+        F.lit("eg|__short").alias("block_key"), "id"
+    )
+    edjoin_candidates = candidate_pairs(keys.unionByName(short_keys), 2000, 16).count()
 
     true_matches = edit_distance_self_join(df, "text", k=args.k, q=args.q).count()
 
