@@ -114,6 +114,28 @@ def _pack_shards(splits: DataFrame, cfg: CurationConfig) -> DataFrame:
     ).select("doc_id", "n_tokens", "split", "shard_id")
 
 
+def _bands(canon_rows: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """(block_key, id) MinHash band keys of canonical rows."""
+    return minhash_band_table(
+        canon_rows, "doc_id", word_bigrams(F.col("text")), cfg.num_hashes, cfg.bands
+    ).select(F.col("band_key").alias("block_key"), "id")
+
+
+def _verify_edges(pairs: DataFrame, canon_rows: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """Verify slim candidate pairs with true word-bigram Jaccard."""
+    grams = canon_rows.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(word_bigrams(F.col("text"))).alias("g"),
+    )
+    fat = attach_pair_payload(pairs, grams, ["g"])
+    jac = F.size(F.array_intersect("g_a", "g_b")).cast("double") / F.size(
+        F.array_union("g_a", "g_b")
+    )
+    return fat.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= cfg.jaccard
+    )
+
+
 def run_curation(spark: SparkSession, docs: DataFrame, cfg: CurationConfig) -> dict:
     """Run (or resume) the curation pipeline over a documents table
     (doc_id, text, ...); returns handles to every stage."""
@@ -133,24 +155,27 @@ def run_curation(spark: SparkSession, docs: DataFrame, cfg: CurationConfig) -> d
         .join(kept, ["fp", "doc_id"]),
     )
 
-    def build_neardup_edges() -> DataFrame:
-        blocks = minhash_band_table(
-            exact_canon, "doc_id", word_bigrams(F.col("text")), cfg.num_hashes, cfg.bands
-        ).select(F.col("band_key").alias("block_key"), "id")
-        pairs = candidate_pairs(blocks, cfg.hot_threshold, cfg.num_salts).drop("n_keys")
-        grams = exact_canon.select(
-            F.col("doc_id").alias("id"),
-            F.array_distinct(word_bigrams(F.col("text"))).alias("g"),
-        )
-        fat = attach_pair_payload(pairs, grams, ["g"])
-        jac = F.size(F.array_intersect("g_a", "g_b")).cast("double") / F.size(
-            F.array_union("g_a", "g_b")
-        )
-        return fat.select("id_a", "id_b", jac.alias("jaccard")).where(
-            F.col("jaccard") >= cfg.jaccard
-        )
+    # band keys are their own stage: the incremental plan reuses them, so a
+    # daily batch never re-hashes the base corpus's bigrams
+    neardup_bands = run_stage(
+        wh,
+        cfg,
+        "neardup_bands",
+        lambda: _bands(exact_canon, cfg),
+    )
 
-    neardup_edges = run_stage(wh, cfg, "neardup_edges", build_neardup_edges)
+    neardup_edges = run_stage(
+        wh,
+        cfg,
+        "neardup_edges",
+        lambda: _verify_edges(
+            candidate_pairs(neardup_bands, cfg.hot_threshold, cfg.num_salts).drop(
+                "n_keys"
+            ),
+            exact_canon,
+            cfg,
+        ),
+    )
 
     # collapse near-dup clusters exactly like entity clusters: the label IS
     # the minimum reachable id, so the canonical row is label == id
@@ -188,6 +213,7 @@ def run_curation(spark: SparkSession, docs: DataFrame, cfg: CurationConfig) -> d
         "profiled": profiled,
         "kept": kept,
         "exact_canon": exact_canon,
+        "neardup_bands": neardup_bands,
         "neardup_edges": neardup_edges,
         "canon": canon,
         "splits": splits,
@@ -232,7 +258,10 @@ def run_incremental_curation(
     full-batch run — single and chained — in tests/test_curation_plan.py.
     """
     wh = Warehouse(spark, cfg.checkpoint_dir)
-    base_tables = [f"{base_prefix}{t}" for t in ("profiled", "exact_canon", "neardup_edges")]
+    base_tables = [
+        f"{base_prefix}{t}"
+        for t in ("profiled", "exact_canon", "neardup_bands", "neardup_edges")
+    ]
     for t in base_tables:
         if not wh.exists(t):
             raise ValueError(
@@ -240,7 +269,8 @@ def run_incremental_curation(
             )
     base_profiled = wh.read(base_tables[0])
     base_exact = wh.read(base_tables[1])
-    base_edges = wh.read(base_tables[2]).select("id_a", "id_b")
+    base_bands = wh.read(base_tables[2])
+    base_edges = wh.read(base_tables[3]).select("id_a", "id_b")
 
     bounds = base_profiled.agg(F.max("doc_id").alias("mx")).collect()[0]
     overlap = (
@@ -297,36 +327,32 @@ def run_incremental_curation(
         lambda: base_exact.unionByName(delta_exact),
     )
 
-    def build_delta_edges() -> DataFrame:
-        def bands(df: DataFrame) -> DataFrame:
-            return minhash_band_table(
-                df, "doc_id", word_bigrams(F.col("text")), cfg.num_hashes, cfg.bands
-            ).select(F.col("band_key").alias("block_key"), "id")
+    # delta band keys checkpoint too: the base side comes straight from the
+    # base's neardup_bands table, so a daily batch re-hashes ONLY the delta
+    delta_bands = run_stage(
+        wh, cfg, f"{batch_id}_bands", lambda: _bands(delta_exact, cfg)
+    )
 
+    def build_delta_edges() -> DataFrame:
         from levenshtein_spark.operators.pairs import candidate_pairs_lr
 
         cross = candidate_pairs_lr(
-            bands(delta_exact), bands(base_exact), cfg.hot_threshold, cfg.num_salts
+            delta_bands, base_bands, cfg.hot_threshold, cfg.num_salts
         ).select(
             F.least("id_l", "id_r").alias("id_a"), F.greatest("id_l", "id_r").alias("id_b")
         )
-        within = candidate_pairs(
-            bands(delta_exact), cfg.hot_threshold, cfg.num_salts
-        ).select("id_a", "id_b")
-        pairs = cross.unionByName(within).distinct()
-        grams = all_exact.select(
-            F.col("doc_id").alias("id"),
-            F.array_distinct(word_bigrams(F.col("text"))).alias("g"),
+        within = candidate_pairs(delta_bands, cfg.hot_threshold, cfg.num_salts).select(
+            "id_a", "id_b"
         )
-        fat = attach_pair_payload(pairs, grams, ["g"])
-        jac = F.size(F.array_intersect("g_a", "g_b")).cast("double") / F.size(
-            F.array_union("g_a", "g_b")
-        )
-        return fat.select("id_a", "id_b", jac.alias("jaccard")).where(
-            F.col("jaccard") >= cfg.jaccard
-        )
+        return _verify_edges(cross.unionByName(within).distinct(), all_exact, cfg)
 
     delta_edges = run_stage(wh, cfg, f"{batch_id}_edges", build_delta_edges)
+    all_bands = run_stage(
+        wh,
+        cfg,
+        f"{batch_id}_all_neardup_bands",
+        lambda: base_bands.unionByName(delta_bands),
+    )
     all_edges = run_stage(
         wh,
         cfg,
@@ -374,9 +400,11 @@ def run_incremental_curation(
         "delta_profiled": delta_profiled,
         "delta_kept": delta_kept,
         "delta_exact_canon": delta_exact,
+        "delta_bands": delta_bands,
         "delta_edges": delta_edges,
         "all_profiled": all_profiled,
         "all_exact_canon": all_exact,
+        "all_neardup_bands": all_bands,
         "all_edges": all_edges,
         "canon": canon,
         "splits": splits,

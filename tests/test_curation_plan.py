@@ -56,15 +56,15 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
         assert min(sh for sp, sh in shards.values() if sp == s) == 0
     # lineage metrics written for every stage
     wh = out["warehouse"]
-    for stage in ("profiled", "kept", "exact_canon", "neardup_edges", "canon",
-                  "splits", "shards"):
+    for stage in ("profiled", "kept", "exact_canon", "neardup_bands",
+                  "neardup_edges", "canon", "splits", "shards"):
         assert wh.exists(f"metrics_{stage}"), stage
 
 
 def test_curation_resume_skips_completed_stages(spark, tmp_path):
     cfg = _cfg(tmp_path)
     first = run_curation(spark, _docs(spark), cfg)
-    assert len(cfg.stage_times) == 7                # everything computed
+    assert len(cfg.stage_times) == 8                # everything computed
 
     cfg2 = _cfg(tmp_path)
     second = run_curation(spark, _docs(spark), cfg2)
