@@ -246,6 +246,35 @@ def q_edjoin_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_EDJ_OSA_PLEN = 24
+_EDJ_OSA_K = 2
+
+
+def q_edjoin_docs_osa(spark: SparkSession, sf: str) -> DataFrame:
+    """The Ed-Join operator in TRANSPOSITIONS mode (per-edit gram damage
+    q+1, wider prefix): all document pairs whose 24-char prefixes
+    (_EDJ_OSA_PLEN) are within OSA distance 2 (_EDJ_OSA_K). Driver-checks
+    the branch the Levenshtein twin (edjoin_docs) cannot reach; the oracle
+    is the recursive-CTE reference OSA behind a LOSSLESS levenshtein <= 2k
+    prefilter (one transposition = two Levenshtein substitutions), same as
+    the streaming_incremental_link twin.
+    """
+    from levenshtein_spark.operators.simjoin import edit_distance_self_join
+
+    d = tbl(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), F.substring("text", 1, _EDJ_OSA_PLEN).alias("ptext")
+    )
+    out = edit_distance_self_join(
+        d, "ptext", k=_EDJ_OSA_K, q=_EDJ_Q, transpositions=True,
+        hot_threshold=500, num_salts=8,
+    )
+    return out.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 def q_fuzzy_join_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Two-table batch linkage (operators.pairs.fuzzy_join): link the
     customer table against a synthetic "dirty batch" — every name with its
@@ -282,6 +311,7 @@ QUERIES = {
     "similar_names_by_nation": q_similar_names_by_nation,
     "similarity_join_docs": q_similarity_join_docs,
     "edjoin_docs": q_edjoin_docs,
+    "edjoin_docs_osa": q_edjoin_docs_osa,
     "fuzzy_join_customers": q_fuzzy_join_customers,
     "events_sessionize": q_events_sessionize,
     "pricing_rollup": q_pricing_rollup,
@@ -358,6 +388,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.pt, b.pt) <= {_EDJ_K}
 """,
+    "edjoin_docs_osa": None,  # built below (needs the recursive OSA CTE)
     "fuzzy_join_customers": """
 WITH l AS (
   SELECT c_custkey AS id_l, c_nationkey, substr(c_name, 10, 3) AS s1,
@@ -416,3 +447,28 @@ SELECT CAST(day AS VARCHAR) AS day, n_events,
 FROM daily
 """,
 }
+
+
+def _edjoin_osa_oracle() -> str:
+    from levenshtein_spark.oracles import osa_cte
+
+    pairs = f"""
+SELECT row_number() OVER (ORDER BY doc_a, doc_b) AS pid, doc_a, doc_b, s1, s2 FROM (
+  WITH s AS (SELECT doc_id, substr(text, 1, {_EDJ_OSA_PLEN}) AS pt FROM documents)
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pt AS s1, b.pt AS s2
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  -- lossless prefilter: one OSA transposition costs two Levenshtein
+  -- substitutions, so osa <= k implies levenshtein <= 2k; keeps the
+  -- recursive CTE to a few hundred candidate pairs
+  WHERE levenshtein(a.pt, b.pt) <= {2 * _EDJ_OSA_K}
+)
+"""
+    return f"""
+WITH RECURSIVE {osa_cte(pairs)}
+SELECT p.doc_a, p.doc_b, CAST(r.osa AS BIGINT) AS dist
+FROM osa_pairs p JOIN osa_result r USING (pid)
+WHERE r.osa <= {_EDJ_OSA_K}
+"""
+
+
+ORACLES["edjoin_docs_osa"] = _edjoin_osa_oracle()
