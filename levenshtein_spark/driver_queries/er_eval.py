@@ -23,6 +23,15 @@ top of the per-field comparisons.
   the all-records shape of the reference's closest-match query
   (doc/Usage.md:178-189), where ``top_k_matches`` covers the broadcast
   few-probes shape.
+* ``linkage_f1`` — THE BASELINE metric (pairwise F1 vs gold) as a
+  driver-checked row: the pipeline's edge set scored against a gold edge
+  set produced by a structurally independent blocking scheme (Ed-Join
+  q-gram prefix filter vs the pipeline's digit-segment pigeonhole); the
+  DuckDB twin computes gold by brute force.
+* ``linkage_cluster_f1_snm`` — cluster-level co-membership F1 of a
+  deliberately lossy predictor (single-pass SNM blocking) vs the gold
+  transitive closure: the non-trivial case that shows the metric machinery
+  catches blocking recall loss after clustering amplifies it.
 """
 
 from __future__ import annotations
@@ -37,6 +46,7 @@ from levenshtein_spark.driver_queries.linkage import (
     _customer_scored,
 )
 from levenshtein_spark.functions.distance import bounded_edit_dist
+from levenshtein_spark.operators.clustering import cluster_labels
 from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
 from levenshtein_spark.operators.scoring import edges as edges_of
 from levenshtein_spark.operators.scoring import fellegi_sunter_weight, fs_classify
@@ -235,12 +245,130 @@ def q_top_k_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _gold_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The exact gold edge set (same nation AND c_name within Levenshtein 1)
+    computed WITHOUT the pipeline's blocking: candidates come from the
+    Ed-Join q-gram prefix filter (operators/simjoin.py), a content-based
+    lossless generator that shares nothing with the digit-segment pigeonhole
+    the pipeline blocks on. Two independent lossless schemes agreeing — and
+    both hash-matching DuckDB's brute force — is the strongest losslessness
+    evidence a single driver row can carry. Scale shape: the quadratic
+    brute force exists only in the DuckDB oracle; this side is fully
+    blocked, salted, and slim."""
+    from levenshtein_spark.operators.simjoin import edit_distance_self_join
+
+    c = tbl(spark, sf, "customer")
+    names = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    pairs = edit_distance_self_join(
+        names.select("id", "name"), "name", k=1, q=3,
+        hot_threshold=500, num_salts=8,
+    ).select("id_a", "id_b")
+    fat = attach_pair_payload(pairs, names.select("id", "nation"), ["nation"])
+    return fat.where(F.col("nation_a") == F.col("nation_b")).select(
+        F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
+    )
+
+
+def _pair_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """One-row scorecard: n_pred/n_gold/tp/fp/fn + precision/recall/F1 of
+    two edge sets (both keyed src < dst). Integer counts divided as doubles
+    and rounded to 6 — bit-identical across engines."""
+    agg = (
+        pred.withColumn("is_pred", F.lit(True))
+        .join(gold.withColumn("is_gold", F.lit(True)), ["src", "dst"], "full_outer")
+        .agg(
+            F.sum(F.when(F.col("is_pred"), 1).otherwise(0)).alias("n_pred"),
+            F.sum(F.when(F.col("is_gold"), 1).otherwise(0)).alias("n_gold"),
+            F.sum(F.when(F.col("is_pred") & F.col("is_gold"), 1).otherwise(0)).alias("tp"),
+        )
+    )
+    n_pred, n_gold, tp = F.col("n_pred"), F.col("n_gold"), F.col("tp")
+    return agg.select(
+        n_pred.cast("long").alias("n_pred"),
+        n_gold.cast("long").alias("n_gold"),
+        tp.cast("long").alias("tp"),
+        (n_pred - tp).cast("long").alias("fp"),
+        (n_gold - tp).cast("long").alias("fn"),
+        F.round(tp.cast("double") / n_pred, 6).alias("precision"),
+        F.round(tp.cast("double") / n_gold, 6).alias("recall"),
+        F.round(F.lit(2.0) * tp / (n_pred + n_gold), 6).alias("f1"),
+    )
+
+
+def q_linkage_f1(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise F1 of the linkage pipeline's edges vs gold — the BASELINE
+    acceptance metric (pairwise F1 >= 0.99 on labeled pairs), continuously
+    verified by the driver's hash check instead of only by pytest
+    (tests/test_pipeline_e2e.py pins the fixture-corpus variant). Expected
+    value is exactly 1.0: the digit-segment pigeonhole is lossless for the
+    dist<=1 edge rule and the kernel distance is exact, so any value below
+    1.0 — or any hash mismatch vs the brute-force oracle — is a blocking or
+    scoring regression."""
+    pred = edges_of(_customer_scored(spark, sf)).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    return _pair_prf(pred, _gold_edges(spark, sf))
+
+
+def _intra_cluster_pairs(labels: DataFrame) -> DataFrame:
+    """Co-membership pairs (src < dst) of a labeling. Fan-out is bounded by
+    the largest cluster (the linkage_cluster_stats histogram is the guard
+    that stays small); the self-join shuffles on cluster_id only."""
+    slim = labels.select(F.col("id").cast("long").alias("id"), "cluster_id")
+    a = slim.select("cluster_id", F.col("id").alias("src"))
+    b = slim.select("cluster_id", F.col("id").alias("dst"))
+    return a.join(b, "cluster_id").where(F.col("src") < F.col("dst")).select("src", "dst")
+
+
+def q_linkage_cluster_f1_snm(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-level (co-membership pairwise) F1 of an SNM-blocked linkage
+    vs the gold closure — the metric the BASELINE names, exercised on a
+    predictor that is genuinely lossy (single-pass sorted-neighborhood,
+    window 10, pairs completeness ~0.34 per ``blocking_metrics_snm``), so
+    the row carries a non-trivial value. Because SNM edges are scored with
+    the exact rule they are a SUBSET of gold edges; a subset of edges yields
+    a finer partition, so precision stays 1.0 and the number that moves is
+    recall. Measured at sf0.01: cluster-level recall 0.127 vs edge-level
+    pairs completeness 0.339 — clustering AMPLIFIES blocking recall loss
+    (a gold cluster of size s carries s·(s-1)/2 co-membership pairs, so the
+    large clusters SNM fragments dominate the denominator), which is
+    exactly why ER evaluation needs this metric in addition to the
+    edge-level scorecard."""
+    c = tbl(spark, sf, "customer")
+    ids = c.select(F.col("c_custkey").cast("long").alias("id"))
+    records = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    cand = q_snm_pairs(spark, sf).select(
+        F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b")
+    )
+    fat = attach_pair_payload(cand, records, ["name", "nation"])
+    pred_edges = fat.where(
+        (F.col("nation_a") == F.col("nation_b"))
+        & (
+            (F.col("name_a") == F.col("name_b"))
+            | (bounded_edit_dist("name_a", "name_b", 1) <= 1)
+        )
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    pred_pairs = _intra_cluster_pairs(cluster_labels(ids, pred_edges))
+    gold_pairs = _intra_cluster_pairs(cluster_labels(ids, _gold_edges(spark, sf)))
+    return _pair_prf(pred_pairs, gold_pairs)
+
+
 QUERIES = {
     "snm_pairs": q_snm_pairs,
     "blocking_metrics_snm": q_blocking_metrics_snm,
     "blocking_metrics_snm_multipass": q_blocking_metrics_snm_multipass,
     "fs_match_weights": q_fs_match_weights,
     "top_k_neighbors": q_top_k_neighbors,
+    "linkage_f1": q_linkage_f1,
+    "linkage_cluster_f1_snm": q_linkage_cluster_f1_snm,
 }
 
 
@@ -356,6 +484,98 @@ SELECT CAST(id AS BIGINT) AS id, CAST(nbr AS BIGINT) AS nbr, d,
 FROM ranked WHERE rank <= {_NBR_TOP}
 """
 
+# brute-force gold: the quadratic scan lives ONLY here, in the oracle —
+# per-nation cross product + true levenshtein, no blocking at all
+_GOLD_EDGES_SQL = """
+SELECT a.c_custkey AS src, b.c_custkey AS dst
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE a.c_name = b.c_name OR levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+_PRF_SELECT = """
+SELECT n_pred, n_gold, tp,
+       n_pred - tp AS fp,
+       n_gold - tp AS fn,
+       round(CAST(tp AS DOUBLE) / n_pred, 6) AS "precision",
+       round(CAST(tp AS DOUBLE) / n_gold, 6) AS recall,
+       round(CAST(2 * tp AS DOUBLE) / (n_pred + n_gold), 6) AS f1
+FROM m
+"""
+
+_LINKAGE_F1_SQL = f"""
+WITH pred AS (
+  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM ({_CUST_EDGES})
+),
+gold AS ({_GOLD_EDGES_SQL}),
+j AS (
+  SELECT (p.src IS NOT NULL) AS is_pred, (g.src IS NOT NULL) AS is_gold
+  FROM pred p FULL OUTER JOIN gold g ON p.src = g.src AND p.dst = g.dst
+),
+m AS (
+  SELECT CAST(sum(CASE WHEN is_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+         CAST(sum(CASE WHEN is_gold THEN 1 ELSE 0 END) AS BIGINT) AS n_gold,
+         CAST(sum(CASE WHEN is_pred AND is_gold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM j
+)
+{_PRF_SELECT}
+"""
+
+# one flat WITH RECURSIVE: SNM edges -> closure, brute gold -> closure,
+# co-membership pairs of each, then the same PRF arithmetic
+_CLUSTER_F1_SNM_SQL = f"""
+WITH RECURSIVE
+snm_cand AS (
+  SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b FROM ({_SNM_PAIRS})
+),
+pred_edges AS (
+  SELECT c.id_a AS src, c.id_b AS dst
+  FROM snm_cand c
+  JOIN customer x ON x.c_custkey = c.id_a
+  JOIN customer y ON y.c_custkey = c.id_b
+  WHERE x.c_nationkey = y.c_nationkey
+    AND (x.c_name = y.c_name OR levenshtein(x.c_name, y.c_name) <= 1)
+),
+gold_edges AS ({_GOLD_EDGES_SQL}),
+pred_und AS (
+  SELECT src AS a, dst AS b FROM pred_edges UNION SELECT dst, src FROM pred_edges
+),
+pred_reach(root, node) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.root, u.b FROM pred_reach r JOIN pred_und u ON u.a = r.node
+),
+pred_labels AS (SELECT root AS id, min(node) AS cid FROM pred_reach GROUP BY root),
+gold_und AS (
+  SELECT src AS a, dst AS b FROM gold_edges UNION SELECT dst, src FROM gold_edges
+),
+gold_reach(root, node) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.root, u.b FROM gold_reach r JOIN gold_und u ON u.a = r.node
+),
+gold_labels AS (SELECT root AS id, min(node) AS cid FROM gold_reach GROUP BY root),
+pred_pairs AS (
+  SELECT a.id AS src, b.id AS dst FROM pred_labels a
+  JOIN pred_labels b ON a.cid = b.cid AND a.id < b.id
+),
+gold_pairs AS (
+  SELECT a.id AS src, b.id AS dst FROM gold_labels a
+  JOIN gold_labels b ON a.cid = b.cid AND a.id < b.id
+),
+j AS (
+  SELECT (p.src IS NOT NULL) AS is_pred, (g.src IS NOT NULL) AS is_gold
+  FROM pred_pairs p FULL OUTER JOIN gold_pairs g ON p.src = g.src AND p.dst = g.dst
+),
+m AS (
+  SELECT CAST(sum(CASE WHEN is_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+         CAST(sum(CASE WHEN is_gold THEN 1 ELSE 0 END) AS BIGINT) AS n_gold,
+         CAST(sum(CASE WHEN is_pred AND is_gold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM j
+)
+{_PRF_SELECT}
+"""
+
 ORACLES = {
     "snm_pairs": _SNM_PAIRS,
     "blocking_metrics_snm": _scorecard_sql(
@@ -367,4 +587,6 @@ FROM (SELECT id_a, id_b FROM ({_SNM_PAIRS}) UNION ALL SELECT id_a, id_b FROM ({_
     ),
     "fs_match_weights": _fs_sql(),
     "top_k_neighbors": _TOP_K_NEIGHBORS,
+    "linkage_f1": _LINKAGE_F1_SQL,
+    "linkage_cluster_f1_snm": _CLUSTER_F1_SNM_SQL,
 }

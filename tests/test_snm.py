@@ -156,3 +156,43 @@ if HAS_HYPOTHESIS:
             ).collect()
         }
         assert got == expected
+
+
+# -- ER evaluation queries (linkage_f1 / linkage_cluster_f1_snm) --------------
+SF = "/root/testdata/sf0.001"
+
+
+def test_pair_prf_math(spark):
+    from levenshtein_spark.driver_queries.er_eval import _pair_prf
+
+    pred = spark.createDataFrame([(1, 2), (1, 3), (4, 5)], "src long, dst long")
+    gold = spark.createDataFrame([(1, 2), (4, 5), (6, 7), (8, 9)], "src long, dst long")
+    row = _pair_prf(pred, gold).collect()[0]
+    assert (row.n_pred, row.n_gold, row.tp, row.fp, row.fn) == (3, 4, 2, 1, 2)
+    assert row.precision == round(2 / 3, 6)
+    assert row.recall == 0.5
+    assert row.f1 == round(4 / 7, 6)
+
+
+def test_linkage_f1_is_perfect(spark):
+    """The BASELINE acceptance metric: pipeline edges vs the Ed-Join gold
+    must score exactly F1 = 1.0 (both blockings are lossless for dist<=1 and
+    the kernel is exact); anything lower is a blocking/scoring regression."""
+    from levenshtein_spark.driver_queries.er_eval import q_linkage_f1
+
+    row = q_linkage_f1(spark, SF).collect()[0]
+    assert row.n_gold > 10, "fixture must contain a meaningful gold edge set"
+    assert (row.fp, row.fn) == (0, 0)
+    assert (row.precision, row.recall, row.f1) == (1.0, 1.0, 1.0)
+
+
+def test_cluster_f1_snm_bounds(spark):
+    """SNM edges are a subset of gold edges, so the induced partition is
+    finer: cluster co-membership precision must be exactly 1.0 while recall
+    is strictly lossy (single-pass SNM misses most cross-window matches)."""
+    from levenshtein_spark.driver_queries.er_eval import q_linkage_cluster_f1_snm
+
+    row = q_linkage_cluster_f1_snm(spark, SF).collect()[0]
+    assert row.fp == 0 and row.precision == 1.0
+    assert 0 < row.recall < 1
+    assert row.f1 == round(2 * row.tp / (row.n_pred + row.n_gold), 6)
