@@ -167,6 +167,78 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_TFIDF_Q = 1000  # idf quantization scale (integer weights => exact dot products)
+_TFIDF_P = 0.6  # cosine threshold
+
+
+def q_dedup_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF weighted cosine near-dup (the CCNet/C4-style fuzzy-dedup
+    family: token overlap weighted by corpus rarity, so boilerplate tokens
+    stop gluing unrelated documents together the way raw Jaccard lets them).
+
+    Candidates come from the same MinHash-LSH band keys as ``dedup_minhash``
+    (salted slim pairs — this is exactly how production near-dup runs: LSH
+    recall stage, weighted-cosine verify stage). Exactness discipline for
+    the verify stage: idf is the rational ``(N - df + 0.5)/(df + 0.5)``
+    (no transcendentals — the same documented deviation as ``bm25_search``,
+    monotone in ln-idf), quantized to an integer weight via one
+    correctly-rounded IEEE multiply+divide+round; per-token weights are
+    therefore exact integers, the dot product and squared norms are
+    order-free integer sums (bit-identical across engines no matter the
+    aggregation order), and the only floats per pair are one sqrt and one
+    divide — both correctly rounded under IEEE-754, unlike ln.
+
+    Scale shape: tf and df are map-side-combining aggregations; idf joins
+    back by token (never broadcast); the dot product joins the slim pair
+    stream to the token-weight table on (id, tok) — cost bounded by
+    |candidates| x avg tokens, not by the corpus square.
+    """
+    from levenshtein_spark.functions.text import word_tokens
+
+    d = tbl(spark, sf, "documents")
+    toks = d.select(
+        F.col("doc_id").alias("id"), F.explode(word_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.count()
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf_q = F.round(
+        ((F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5))
+        * F.lit(float(_TFIDF_Q))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    ).cast("long")
+    # persisted: feeds the norm aggregation AND both sides of the dot join
+    w = tf.join(dfs, "tok").select("id", "tok", (F.col("tf") * idf_q).alias("w")).persist()
+    norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    blocks = _doc_band_keys(d).select(
+        F.col("band_key").alias("block_key"), F.col("doc_id").alias("id")
+    )
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    dots = (
+        pairs.join(
+            w.select(F.col("id").alias("id_a"), "tok", F.col("w").alias("wa")), "id_a"
+        )
+        .join(
+            w.select(F.col("id").alias("id_b"), "tok", F.col("w").alias("wb")),
+            ["id_b", "tok"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))),
+        6,
+    )
+    return (
+        attach_pair_payload(dots, norms, ["n2"])
+        .select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), cos.alias("cosine")
+        )
+        .where(F.col("cosine") >= _TFIDF_P)
+    )
+
+
 _PFX_KEY = 32
 
 
@@ -233,6 +305,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_tfidf": q_dedup_tfidf,
     "dedup_prefix": q_dedup_prefix,
 }
 
@@ -330,6 +403,46 @@ FROM documents a JOIN documents b
   ON a.doc_id <> b.doc_id
  AND strlen(a.text) < strlen(b.text)
  AND starts_with(b.text, a.text)
+""",
+    # same MinHash band candidates as dedup_minhash; integer-quantized
+    # rational idf => integer dot/norms, so the only floats are one sqrt
+    # and one divide per pair (both correctly rounded under IEEE-754)
+    "dedup_tfidf": f"""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_DD_TOKENS}) AS tok FROM documents) t
+  GROUP BY doc_id, tok
+),
+dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+w AS (
+  SELECT doc_id, tok,
+         tf * CAST(round((CAST((SELECT n FROM n) - df AS DOUBLE) + 0.5)
+                         * CAST({_TFIDF_Q} AS DOUBLE)
+                         / (CAST(df AS DOUBLE) + 0.5)) AS BIGINT) AS w
+  FROM tf JOIN dfs USING (tok)
+),
+norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+keys AS ({_dd_minhash_keys_sql()}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM keys l JOIN keys r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+dots AS (
+  SELECT p.doc_a, p.doc_b, sum(a.w * b.w) AS dot
+  FROM pairs p
+  JOIN w a ON a.doc_id = p.doc_a
+  JOIN w b ON b.doc_id = p.doc_b AND b.tok = a.tok
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(d.dot AS DOUBLE) /
+             (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE round(CAST(d.dot AS DOUBLE) /
+            (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= {_TFIDF_P}
 """,
     "dedup_ngram_jaccard": f"""
 WITH g AS (
