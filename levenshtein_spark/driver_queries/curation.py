@@ -58,6 +58,78 @@ def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
     return packed.select("doc_id", "n_tokens", F.col("shard_id").cast("long").alias("shard_id"))
 
 
+_STRAT_K = 25  # exact per-stratum sample size
+
+
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sample (here: 25 docs per lang) —
+    the balanced-subset op a curation run uses for eval slices and
+    human-review batches. The order key is ``md5(doc_id)``, so the sample
+    is a pure function of the data (stable across re-runs, engines, and
+    cluster sizes — never ``rand()``), and unique ids make ties impossible.
+
+    Scale shape: rank-within-stratum compiles to ``WindowGroupLimit`` —
+    each map task keeps at most k rows per stratum BEFORE the shuffle, so
+    the exchange carries O(strata x k x tasks), never the corpus.
+    """
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _STRAT_K)
+        .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_CHUNK_W = 64  # chunk width (tokens)
+_CHUNK_S = 48  # stride (overlap = W - S = 16 tokens)
+
+
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window document chunking: split each document's token
+    stream into width-64 chunks at stride 48 (16-token overlap) — the
+    context-window prep step of an LLM training pipeline. Chunk count is
+    ``1 + ceil((n - W) / S)`` for n > W else 1, so every token is covered,
+    consecutive chunks overlap by W - S, and a short (or empty) document
+    yields exactly one chunk. Chunk text is emitted as an md5 so the
+    oracle compares content without shipping the strings.
+
+    Scale shape: one scan, tokens + sequence + explode + slice are all
+    codegen column expressions — no shuffle, no UDF; output is ~n/S rows
+    per document, linear in the corpus.
+    """
+    return chunk_tokens(tbl(spark, sf, "documents"))
+
+
+def chunk_tokens(
+    d: DataFrame, width: int = _CHUNK_W, stride: int = _CHUNK_S
+) -> DataFrame:
+    """``(doc_id, text, ...)`` → ``(doc_id, chunk_idx, n_tokens, chunk_md5)``
+    sliding-window chunk table (semantics in :func:`q_chunk_documents`;
+    factored out so tests can drive edge-case corpora through it)."""
+    toks = word_tokens(F.col("text"))
+    n = F.size(toks).cast("long")
+    n_chunks = F.when(n <= width, F.lit(1).cast("long")).otherwise(
+        F.ceil((n - F.lit(width)).cast("double") / F.lit(float(stride))) + 1
+    )
+    rows = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("toks"), (F.col("chunk_idx") * stride + 1).cast("int"), width
+    )
+    return rows.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
 def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 documents for the fixed query terms by BM25 (rational idf).
 
@@ -213,6 +285,8 @@ def q_text_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "sample_split": q_sample_split,
+    "sample_stratified": q_sample_stratified,
+    "chunk_documents": q_chunk_documents,
     "pack_shards": q_pack_shards,
     "bm25_search": q_bm25_search,
     "corpus_profile": q_corpus_profile,
@@ -273,6 +347,35 @@ ORACLES = {
     "sample_split": f"""
 SELECT doc_id, {_DD_BUCKET} AS bucket, {_dd_split_case()} AS split
 FROM documents
+""",
+    "sample_stratified": f"""
+SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+              PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk
+  FROM documents
+) t WHERE rk <= {_STRAT_K}
+""",
+    # chunk count: 1 for n <= W, else 1 + ceil((n - W) / S); list_slice is
+    # inclusive-end and truncates past the array, matching Spark's slice
+    "chunk_documents": f"""
+WITH t AS (
+  SELECT doc_id, {_DD_WORDS} AS toks, len({_DD_WORDS}) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CASE WHEN n <= {_CHUNK_W} THEN 1
+                              ELSE CAST(ceil((n - {_CHUNK_W}) / {float(_CHUNK_S)}) AS BIGINT) + 1
+                         END)) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                           chunk_idx * {_CHUNK_S} + {_CHUNK_W})) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                                      chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' ')) AS chunk_md5
+FROM c
 """,
     "pack_shards": f"""
 SELECT doc_id, n_tokens,

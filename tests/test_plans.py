@@ -50,6 +50,11 @@ def test_scoring_python_is_arrow_batched(all_plans):
     assert "ArrowEvalPython" in p
 
 
+def test_sample_stratified_window_group_limit(all_plans):
+    # rank-within-stratum must push the per-stratum limit below the shuffle
+    assert "WindowGroupLimit" in all_plans["sample_stratified"]
+
+
 def test_top_k_neighbors_window_group_limit(all_plans):
     """The per-record rank filter must push top-k below the window sort."""
     assert "WindowGroupLimit" in all_plans["top_k_neighbors"]
