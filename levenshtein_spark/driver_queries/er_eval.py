@@ -340,6 +340,18 @@ def q_linkage_cluster_f1_snm(spark: SparkSession, sf: str) -> DataFrame:
     edge-level scorecard."""
     c = tbl(spark, sf, "customer")
     ids = c.select(F.col("c_custkey").cast("long").alias("id"))
+    pred_pairs = _intra_cluster_pairs(
+        cluster_labels(ids, _snm_pred_edges(spark, sf))
+    )
+    gold_pairs = _intra_cluster_pairs(cluster_labels(ids, _gold_edges(spark, sf)))
+    return _pair_prf(pred_pairs, gold_pairs)
+
+
+def _snm_pred_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The deliberately lossy predictor the cluster-level metrics evaluate:
+    single-pass SNM candidates scored with the exact edge rule (same nation,
+    name within edit distance 1) — a strict SUBSET of gold edges."""
+    c = tbl(spark, sf, "customer")
     records = c.select(
         F.col("c_custkey").cast("long").alias("id"),
         F.col("c_name").alias("name"),
@@ -349,16 +361,80 @@ def q_linkage_cluster_f1_snm(spark: SparkSession, sf: str) -> DataFrame:
         F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b")
     )
     fat = attach_pair_payload(cand, records, ["name", "nation"])
-    pred_edges = fat.where(
+    return fat.where(
         (F.col("nation_a") == F.col("nation_b"))
         & (
             (F.col("name_a") == F.col("name_b"))
             | (bounded_edit_dist("name_a", "name_b", 1) <= 1)
         )
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    pred_pairs = _intra_cluster_pairs(cluster_labels(ids, pred_edges))
-    gold_pairs = _intra_cluster_pairs(cluster_labels(ids, _gold_edges(spark, sf)))
-    return _pair_prf(pred_pairs, gold_pairs)
+
+
+_BC_Q = 1_000_000_000  # per-cell quantization scale (order-free integer sums)
+
+
+def q_linkage_bcubed(spark: SparkSession, sf: str) -> DataFrame:
+    """B-cubed precision/recall/F1 of the SNM-blocked linkage vs the gold
+    closure — the third standard ER evaluation view next to edge-level PRF
+    (``linkage_f1``) and co-membership pairwise F1
+    (``linkage_cluster_f1_snm``). B-cubed averages per-RECORD overlap
+    (precision(r) = |P(r) ∩ G(r)| / |P(r)|, recall(r) symmetric), so
+    fragmenting a gold cluster costs linearly per record where co-membership
+    pairs cost quadratically — singletons still count, and one giant wrong
+    cluster can't dominate the way it dominates pairwise counts.
+
+    Exactness discipline: computed over the (pred_cluster, gold_cluster)
+    contingency table — sum of n_pg^2/|P| equals the sum of per-record
+    precisions — with each cell's fraction quantized to an integer via ONE
+    correctly-rounded double multiply+divide+round (the idf trick), so both
+    engines sum identical integers in any order and the final three divides
+    are bit-identical by construction.
+
+    Scale shape: two label joins on id, three map-side-combining
+    aggregations, one 1-row reduce — nothing wider than the record count
+    ever shuffles.
+    """
+    c = tbl(spark, sf, "customer")
+    ids = c.select(F.col("c_custkey").cast("long").alias("id"))
+    pred = cluster_labels(ids, _snm_pred_edges(spark, sf)).select(
+        "id", F.col("cluster_id").alias("p")
+    )
+    gold = cluster_labels(ids, _gold_edges(spark, sf)).select(
+        "id", F.col("cluster_id").alias("g")
+    )
+    return bcubed_scorecard(pred.join(gold, "id"))
+
+
+def bcubed_scorecard(t: DataFrame) -> DataFrame:
+    """One-row B-cubed scorecard of an ``(id, p, g)`` labeling table
+    (``p`` = predicted cluster, ``g`` = gold cluster); math and exactness
+    discipline in :func:`q_linkage_bcubed` (factored out so tests can pin
+    the arithmetic on hand-computed labelings)."""
+    cells = t.groupBy("p", "g").agg(F.count(F.lit(1)).alias("n_pg"))
+    psz = t.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
+    gsz = t.groupBy("g").agg(F.count(F.lit(1)).alias("ng"))
+    qcell = lambda size: F.round(
+        (F.col("n_pg") * F.col("n_pg")).cast("double") * F.lit(float(_BC_Q)) / F.col(size)
+    ).cast("long")
+    m = (
+        cells.join(psz, "p")
+        .join(gsz, "g")
+        .agg(
+            F.sum(qcell("np")).alias("sp"),
+            F.sum(qcell("ng")).alias("sr"),
+            F.sum("n_pg").alias("n"),
+        )
+    )
+    sp, sr = F.col("sp").cast("double"), F.col("sr").cast("double")
+    denom = F.col("n").cast("double") * F.lit(float(_BC_Q))
+    return m.select(
+        F.col("n").cast("long").alias("n_records"),
+        F.round(sp / denom, 6).alias("bcubed_precision"),
+        F.round(sr / denom, 6).alias("bcubed_recall"),
+        F.round(
+            F.lit(2.0) * sp * sr / ((F.col("sp") + F.col("sr")).cast("double") * denom), 6
+        ).alias("bcubed_f1"),
+    )
 
 
 QUERIES = {
@@ -369,6 +445,7 @@ QUERIES = {
     "top_k_neighbors": q_top_k_neighbors,
     "linkage_f1": q_linkage_f1,
     "linkage_cluster_f1_snm": q_linkage_cluster_f1_snm,
+    "linkage_bcubed": q_linkage_bcubed,
 }
 
 
@@ -521,10 +598,9 @@ m AS (
 {_PRF_SELECT}
 """
 
-# one flat WITH RECURSIVE: SNM edges -> closure, brute gold -> closure,
-# co-membership pairs of each, then the same PRF arithmetic
-_CLUSTER_F1_SNM_SQL = f"""
-WITH RECURSIVE
+# shared WITH RECURSIVE prefix: SNM edges -> closure labels, brute gold ->
+# closure labels (used by the cluster-level F1 AND the B-cubed twins)
+_LABELS_CTES = f"""
 snm_cand AS (
   SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b FROM ({_SNM_PAIRS})
 ),
@@ -554,7 +630,14 @@ gold_reach(root, node) AS (
   UNION
   SELECT r.root, u.b FROM gold_reach r JOIN gold_und u ON u.a = r.node
 ),
-gold_labels AS (SELECT root AS id, min(node) AS cid FROM gold_reach GROUP BY root),
+gold_labels AS (SELECT root AS id, min(node) AS cid FROM gold_reach GROUP BY root)
+"""
+
+# one flat WITH RECURSIVE: SNM edges -> closure, brute gold -> closure,
+# co-membership pairs of each, then the same PRF arithmetic
+_CLUSTER_F1_SNM_SQL = f"""
+WITH RECURSIVE
+{_LABELS_CTES},
 pred_pairs AS (
   SELECT a.id AS src, b.id AS dst FROM pred_labels a
   JOIN pred_labels b ON a.cid = b.cid AND a.id < b.id
@@ -576,6 +659,37 @@ m AS (
 {_PRF_SELECT}
 """
 
+# (pred, gold) contingency cells with the same integer quantization as the
+# Spark side: one correctly-rounded double op per cell, order-free BIGINT sums
+_BCUBED_SQL = f"""
+WITH RECURSIVE
+{_LABELS_CTES},
+t AS (
+  SELECT p.id, p.cid AS pc, g.cid AS gc
+  FROM pred_labels p JOIN gold_labels g USING (id)
+),
+cells AS (SELECT pc, gc, CAST(count(*) AS BIGINT) AS n_pg FROM t GROUP BY pc, gc),
+psz AS (SELECT pc, CAST(count(*) AS BIGINT) AS np FROM t GROUP BY pc),
+gsz AS (SELECT gc, CAST(count(*) AS BIGINT) AS ng FROM t GROUP BY gc),
+q AS (
+  SELECT n_pg,
+         CAST(round(CAST(n_pg * n_pg AS DOUBLE) * {float(_BC_Q)!r} / np) AS BIGINT) AS qp,
+         CAST(round(CAST(n_pg * n_pg AS DOUBLE) * {float(_BC_Q)!r} / ng) AS BIGINT) AS qr
+  FROM cells JOIN psz USING (pc) JOIN gsz USING (gc)
+),
+m AS (
+  SELECT CAST(sum(qp) AS BIGINT) AS sp, CAST(sum(qr) AS BIGINT) AS sr,
+         CAST(sum(n_pg) AS BIGINT) AS n
+  FROM q
+)
+SELECT n AS n_records,
+       round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * {float(_BC_Q)!r}), 6) AS bcubed_precision,
+       round(CAST(sr AS DOUBLE) / (CAST(n AS DOUBLE) * {float(_BC_Q)!r}), 6) AS bcubed_recall,
+       round(2.0 * CAST(sp AS DOUBLE) * CAST(sr AS DOUBLE)
+             / (CAST(sp + sr AS DOUBLE) * (CAST(n AS DOUBLE) * {float(_BC_Q)!r})), 6) AS bcubed_f1
+FROM m
+"""
+
 ORACLES = {
     "snm_pairs": _SNM_PAIRS,
     "blocking_metrics_snm": _scorecard_sql(
@@ -589,4 +703,5 @@ FROM (SELECT id_a, id_b FROM ({_SNM_PAIRS}) UNION ALL SELECT id_a, id_b FROM ({_
     "top_k_neighbors": _TOP_K_NEIGHBORS,
     "linkage_f1": _LINKAGE_F1_SQL,
     "linkage_cluster_f1_snm": _CLUSTER_F1_SNM_SQL,
+    "linkage_bcubed": _BCUBED_SQL,
 }

@@ -196,3 +196,47 @@ def test_cluster_f1_snm_bounds(spark):
     assert row.fp == 0 and row.precision == 1.0
     assert 0 < row.recall < 1
     assert row.f1 == round(2 * row.tp / (row.n_pred + row.n_gold), 6)
+
+
+def test_bcubed_math_hand_computed(spark):
+    """Pred {1,2},{3,4,5} vs gold {1,2,3},{4,5}: per-record precisions
+    (1, 1, 1/3, 2/3, 2/3) and recalls (2/3, 2/3, 1/3, 1, 1) both average
+    to 11/15."""
+    from levenshtein_spark.driver_queries.er_eval import bcubed_scorecard
+
+    t = spark.createDataFrame(
+        [(1, 10, 20), (2, 10, 20), (3, 11, 20), (4, 11, 21), (5, 11, 21)],
+        "id long, p long, g long",
+    )
+    row = bcubed_scorecard(t).collect()[0]
+    assert row.n_records == 5
+    assert row.bcubed_precision == round(11 / 15, 6)
+    assert row.bcubed_recall == round(11 / 15, 6)
+    assert row.bcubed_f1 == round(11 / 15, 6)
+
+
+def test_bcubed_identical_labelings_perfect(spark):
+    from levenshtein_spark.driver_queries.er_eval import bcubed_scorecard
+
+    t = spark.createDataFrame(
+        [(i, i % 3, i % 3) for i in range(9)], "id long, p long, g long"
+    )
+    row = bcubed_scorecard(t).collect()[0]
+    assert (row.bcubed_precision, row.bcubed_recall, row.bcubed_f1) == (1.0, 1.0, 1.0)
+
+
+def test_bcubed_snm_bounds(spark):
+    """SNM's partition is a refinement of gold, so B-cubed precision is
+    exactly 1.0 and recall is lossy — but LESS lossy than co-membership
+    pairwise recall (B-cubed charges fragmentation linearly per record,
+    pairwise charges it quadratically per cluster size)."""
+    from levenshtein_spark.driver_queries.er_eval import (
+        q_linkage_bcubed,
+        q_linkage_cluster_f1_snm,
+    )
+
+    b = q_linkage_bcubed(spark, SF).collect()[0]
+    assert b.bcubed_precision == 1.0
+    assert 0 < b.bcubed_recall < 1
+    pair = q_linkage_cluster_f1_snm(spark, SF).collect()[0]
+    assert b.bcubed_recall > pair.recall
