@@ -437,6 +437,36 @@ def bcubed_scorecard(t: DataFrame) -> DataFrame:
     )
 
 
+_JW_THRESHOLD = 0.97
+
+
+def q_jw_match_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Jaro–Winkler match scoring over the blocked candidate universe — the
+    companion comparator to the edit-distance scoring the pipeline runs
+    (Winkler's name comparator from the Census Bureau ER line; the standard
+    second feature in a Fellegi–Sunter comparison vector).
+
+    Candidates are the same pigeonhole segment universe the linkage track
+    and ``similar_names_by_nation`` use; the kernel's conventions are pinned
+    bit-for-bit to DuckDB's ``jaro_winkler_similarity`` (see
+    functions/jaro.py), so the twin hash-checks RAW doubles — no rounding,
+    no quantization.
+    """
+    from levenshtein_spark.driver_queries.linkage import _customer_blocks
+    from levenshtein_spark.functions.distance import jaro_winkler
+    from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
+
+    blocks = _customer_blocks(spark, sf)
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    c = tbl(spark, sf, "customer")
+    rec = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    fat = attach_pair_payload(pairs, rec, ["name"])
+    scored = fat.select(
+        "id_a", "id_b", jaro_winkler("name_a", "name_b").alias("jw")
+    )
+    return scored.where(F.col("jw") >= _JW_THRESHOLD)
+
+
 QUERIES = {
     "snm_pairs": q_snm_pairs,
     "blocking_metrics_snm": q_blocking_metrics_snm,
@@ -446,6 +476,7 @@ QUERIES = {
     "linkage_f1": q_linkage_f1,
     "linkage_cluster_f1_snm": q_linkage_cluster_f1_snm,
     "linkage_bcubed": q_linkage_bcubed,
+    "jw_match_scores": q_jw_match_scores,
 }
 
 
@@ -704,4 +735,11 @@ FROM (SELECT id_a, id_b FROM ({_SNM_PAIRS}) UNION ALL SELECT id_a, id_b FROM ({_
     "linkage_f1": _LINKAGE_F1_SQL,
     "linkage_cluster_f1_snm": _CLUSTER_F1_SNM_SQL,
     "linkage_bcubed": _BCUBED_SQL,
+    # same candidate universe as the linkage track; the kernel is bit-pinned
+    # to DuckDB's jaro_winkler_similarity, so raw doubles hash-match
+    "jw_match_scores": f"""
+SELECT id_a, id_b, jaro_winkler_similarity(name_a, name_b) AS jw
+FROM ({_CUST_PAIRS}) p
+WHERE jaro_winkler_similarity(name_a, name_b) >= {_JW_THRESHOLD!r}
+""",
 }

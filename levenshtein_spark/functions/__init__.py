@@ -9,6 +9,7 @@ from levenshtein_spark.functions.distance import (
     edit_dist,
     edit_dist_builtin,
     edit_dist_t,
+    jaro_winkler,
     similarity_t,
 )
 
@@ -18,6 +19,7 @@ __all__ = [
     "bounded_edit_dist",
     "bounded_edit_dist_t",
     "similarity_t",
+    "jaro_winkler",
     "edit_dist_builtin",
     "bounded_edit_dist_builtin",
 ]

@@ -117,6 +117,22 @@ def edit_dist_t_2d(a, b) -> Column:
     return edit_dist_t(a, b)
 
 
+@pandas_udf(DoubleType())
+def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    from levenshtein_spark.functions.jaro import batch_jaro_winkler
+
+    return pd.Series(batch_jaro_winkler(a.tolist(), b.tolist()))
+
+
+def jaro_winkler(a, b) -> Column:
+    """Jaro–Winkler similarity over UTF-8 bytes — the companion ER comparator
+    to the edit-distance catalog (beyond the reference's surface; see
+    ``levenshtein_spark.functions.jaro`` for the exact pinned conventions,
+    bit-identical to DuckDB's ``jaro_winkler_similarity``)."""
+    return _jw_udf(F.col(a) if isinstance(a, str) else a,
+                   F.col(b) if isinstance(b, str) else b)
+
+
 @pandas_udf(LongType())
 def _noop_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([0] * len(a))
