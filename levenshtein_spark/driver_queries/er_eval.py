@@ -467,6 +467,76 @@ def q_jw_match_scores(spark: SparkSession, sf: str) -> DataFrame:
     return scored.where(F.col("jw") >= _JW_THRESHOLD)
 
 
+# -- Unsupervised Fellegi–Sunter (EM) ----------------------------------------
+# Fields (bit f of the agreement pattern): name within edit distance 1,
+# market segment equal, account-balance bracket (floor(bal/1000)) equal.
+_FS_EM_FIELDS = ["name_dist1", "segment", "bal_bracket"]
+_FS_EM_ITERS = 15
+_FS_EM_INIT = (0.9, 0.1, 0.01)
+
+
+def q_fs_em_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Unsupervised Fellegi–Sunter parameter estimation (the Splink-style
+    workflow): EM over the 2^F agreement-pattern counts of the blocked
+    candidate universe — no labels anywhere.
+
+    The distributed work is ONE map-side-combining groupBy producing at most
+    2^F = 8 rows (the sufficient statistic; O(2^F) result size regardless of
+    corpus scale); EM itself is O(2^F · iters) driver arithmetic
+    (operators/scoring.py fs_em_fit), written in a fixed float-op order so
+    the DuckDB twin — the same recurrence unrolled into iteration CTEs —
+    reproduces every double bit-for-bit. Output: per-field m/u estimates,
+    the agreement/disagreement odds ratios (the exp2 of the FS log-weights,
+    kept as single divides for cross-engine bit-parity), and the match-class
+    prevalence. EM converges to an init-dependent local maximum and u from
+    BLOCKED pairs is enrichment-biased — documented estimator properties the
+    tests pin; the driver row certifies engine parity, not ground truth.
+    """
+    from levenshtein_spark.driver_queries.linkage import _customer_blocks
+    from levenshtein_spark.functions.distance import bounded_edit_dist_builtin
+    from levenshtein_spark.operators.scoring import fs_em_fit
+
+    c = tbl(spark, sf, "customer")
+    records = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    blocks = _customer_blocks(spark, sf)
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    fat = attach_pair_payload(pairs, records, ["name", "seg", "bal"])
+    name_agree = bounded_edit_dist_builtin("name_a", "name_b", 1) <= 1
+    seg_agree = F.col("seg_a") == F.col("seg_b")
+    bal_agree = F.floor(F.col("bal_a") / 1000.0) == F.floor(F.col("bal_b") / 1000.0)
+    g = (
+        name_agree.cast("long")
+        + seg_agree.cast("long") * 2
+        + bal_agree.cast("long") * 4
+    )
+    rows = fat.select(g.alias("g")).groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    counts = [0.0] * 8
+    for r in rows:
+        counts[int(r["g"])] = float(r["cnt"])
+    m, u, p = fs_em_fit(counts, 3, iters=_FS_EM_ITERS, init=_FS_EM_INIT)
+    out = [
+        (
+            _FS_EM_FIELDS[f],
+            m[f],
+            u[f],
+            m[f] / u[f],
+            (1.0 - m[f]) / (1.0 - u[f]),
+            p,
+        )
+        for f in range(3)
+    ]
+    return spark.createDataFrame(
+        out,
+        schema="field string, m double, u double, agree_odds double, "
+        "disagree_odds double, prevalence double",
+    )
+
+
 QUERIES = {
     "snm_pairs": q_snm_pairs,
     "blocking_metrics_snm": q_blocking_metrics_snm,
@@ -743,3 +813,104 @@ FROM ({_CUST_PAIRS}) p
 WHERE jaro_winkler_similarity(name_a, name_b) >= {_JW_THRESHOLD!r}
 """,
 }
+
+
+def _fs_em_sql(cc_select: str | None = None) -> str:
+    """The EM recurrence of ``fs_em_fit`` unrolled into iteration CTEs.
+
+    Every +, *, / appears in exactly the order the Python fit evaluates it
+    (explicit parentheses force left-to-right association), so the two
+    engines execute the identical IEEE op sequence on the identical pattern
+    counts — the generated doubles hash-match with no rounding.
+
+    ``cc_select`` overrides the one-row pattern-count pivot (columns
+    ``c0..c7`` as doubles) — tests inject literal counts through it to pin
+    the SQL↔Python bit parity independently of the candidate universe."""
+    n_fields = len(_FS_EM_FIELDS)
+    n_pat = 1 << n_fields
+    m0, u0, p0 = _FS_EM_INIT
+
+    pat = f"""
+SELECT (CASE WHEN least(levenshtein(p.name_a, p.name_b),
+             least(1, greatest(length(p.name_a), length(p.name_b))) + 1) <= 1
+        THEN 1 ELSE 0 END)
+     + 2 * (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END)
+     + 4 * (CASE WHEN floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+        THEN 1 ELSE 0 END) AS g,
+       count(*) AS cnt
+FROM ({_CUST_PAIRS}) p
+JOIN customer a ON a.c_custkey = p.id_a
+JOIN customer b ON b.c_custkey = p.id_b
+GROUP BY 1
+"""
+    # pivot to one row: each pattern occurs at most once, so the sum is exact
+    cc = cc_select or (
+        "SELECT " + ", ".join(
+            f"coalesce(sum(CASE WHEN g = {g} THEN CAST(cnt AS DOUBLE) END), 0.0) AS c{g}"
+            for g in range(n_pat)
+        ) + " FROM pat"
+    )
+
+    carry_c = ", ".join(f"c{g}" for g in range(n_pat))
+    n_expr = None
+    for g in range(n_pat):  # N accumulated in g order, like the Python loop
+        n_expr = f"c{g}" if n_expr is None else f"({n_expr} + c{g})"
+    ctes = [
+        f"it0 AS (SELECT {carry_c}, {n_expr} AS n, "
+        + ", ".join(
+            f"CAST({m0!r} AS DOUBLE) AS m{f}, CAST({u0!r} AS DOUBLE) AS u{f}"
+            for f in range(n_fields)
+        )
+        + f", CAST({p0!r} AS DOUBLE) AS p FROM cc)"
+    ]
+    for t in range(1, _FS_EM_ITERS + 1):
+        r_exprs = []
+        for g in range(n_pat):
+            a = "p"
+            b = "(1.0 - p)"
+            for f in range(n_fields):
+                if (g >> f) & 1:
+                    a = f"({a} * m{f})"
+                    b = f"({b} * u{f})"
+                else:
+                    a = f"({a} * (1.0 - m{f}))"
+                    b = f"({b} * (1.0 - u{f}))"
+            r_exprs.append(f"({a} / ({a} + {b})) AS r{g}")
+        m_mass = None
+        for g in range(n_pat):
+            term = f"(c{g} * r{g})"
+            m_mass = term if m_mass is None else f"({m_mass} + {term})"
+        updates = []
+        for f in range(n_fields):
+            sm = su = None
+            for g in range(n_pat):
+                if (g >> f) & 1:
+                    tm = f"(c{g} * r{g})"
+                    tu = f"(c{g} * (1.0 - r{g}))"
+                    sm = tm if sm is None else f"({sm} + {tm})"
+                    su = tu if su is None else f"({su} + {tu})"
+            updates.append(
+                f"({sm} / ({m_mass})) AS m{f}, ({su} / (n - ({m_mass}))) AS u{f}"
+            )
+        ctes.append(
+            f"resp{t} AS (SELECT {carry_c}, n, "
+            + ", ".join(f"m{f}, u{f}" for f in range(n_fields))
+            + ", p, " + ", ".join(r_exprs) + f" FROM it{t-1})"
+        )
+        ctes.append(
+            f"it{t} AS (SELECT {carry_c}, n, "
+            + ", ".join(updates)
+            + f", (({m_mass}) / n) AS p FROM resp{t})"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT '{_FS_EM_FIELDS[f]}' AS field, m{f} AS m, u{f} AS u, "
+        f"(m{f} / u{f}) AS agree_odds, ((1.0 - m{f}) / (1.0 - u{f})) AS disagree_odds, "
+        f"p AS prevalence FROM it{_FS_EM_ITERS}"
+        for f in range(n_fields)
+    )
+    prefix = f"WITH cc AS ({cc}),\n" if cc_select else f"WITH pat AS ({pat}),\ncc AS ({cc}),\n"
+    return prefix + ",\n".join(ctes) + f"\nSELECT * FROM ({final}) q"
+
+
+ORACLES["fs_em_weights"] = _fs_em_sql()
+QUERIES["fs_em_weights"] = q_fs_em_weights

@@ -111,3 +111,74 @@ def fs_classify(
         .when(weight < lower, F.lit("non_match"))
         .otherwise(F.lit("possible"))
     )
+
+
+def fs_em_fit(
+    counts: list[float],
+    n_fields: int,
+    iters: int = 15,
+    init: tuple[float, float, float] = (0.9, 0.1, 0.01),
+) -> tuple[list[float], list[float], float]:
+    """Unsupervised Fellegi–Sunter parameter estimation: EM over the
+    2^F agreement-pattern counts (Winkler's classic formulation; the same
+    sufficient-statistic approach modern ER tooling uses).
+
+    ``counts[g]`` is the number of candidate pairs whose agreement pattern is
+    bitmask ``g`` (bit f set = field f agrees). The engine computes the
+    pattern counts distributed (one map-side-combining groupBy — O(2^F)
+    result rows regardless of corpus size); EM itself is O(2^F · iters)
+    driver-side scalar arithmetic, like the clustering convergence checks.
+
+    Every float operation below is written in a FIXED order (explicit
+    left-to-right accumulation, per-pattern product loops in field order) so
+    a SQL twin that unrolls the same expression tree — see
+    driver_queries/er_eval.py `_fs_em_sql` — reproduces the result
+    bit-for-bit: +, *, / are all single correctly-rounded IEEE ops, so
+    identical operand order ⇒ identical doubles, no tolerance needed.
+
+    Returns ``(m, u, p)``: per-field P(agree | match), P(agree | unmatch),
+    and the match-class prevalence. Standard EM caveats apply: the result is
+    a local maximum that depends on ``init``, and u estimated from BLOCKED
+    candidates is biased vs random pairs (blocking enriches agreement);
+    both are documented properties, pinned in tests, not engine artifacts.
+    """
+    n_pat = 1 << n_fields
+    if len(counts) != n_pat:
+        raise ValueError(f"need {n_pat} pattern counts, got {len(counts)}")
+    m0, u0, p = init
+    m = [m0] * n_fields
+    u = [u0] * n_fields
+    c = [float(x) for x in counts]
+    n_total = 0.0
+    for g in range(n_pat):
+        n_total = n_total + c[g]
+    if n_total <= 0.0:
+        raise ValueError("no candidate pairs to fit on")
+    for _ in range(iters):
+        r = []
+        for g in range(n_pat):
+            a = p
+            b = 1.0 - p
+            for f in range(n_fields):
+                if (g >> f) & 1:
+                    a = a * m[f]
+                    b = b * u[f]
+                else:
+                    a = a * (1.0 - m[f])
+                    b = b * (1.0 - u[f])
+            r.append(a / (a + b))
+        m_mass = 0.0
+        for g in range(n_pat):
+            m_mass = m_mass + c[g] * r[g]
+        new_m, new_u = [], []
+        for f in range(n_fields):
+            sm = 0.0
+            su = 0.0
+            for g in range(n_pat):
+                if (g >> f) & 1:
+                    sm = sm + c[g] * r[g]
+                    su = su + c[g] * (1.0 - r[g])
+            new_m.append(sm / m_mass)
+            new_u.append(su / (n_total - m_mass))
+        m, u, p = new_m, new_u, m_mass / n_total
+    return m, u, p

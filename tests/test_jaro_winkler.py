@@ -139,6 +139,63 @@ def test_batch_composition_independence():
         assert _bits(full[i]) == _bits(single[0])
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=300, deadline=None)
+    @given(a=st.text(min_size=0, max_size=30), b=st.text(min_size=0, max_size=30))
+    def test_hypothesis_unicode_vs_duckdb(a, b):
+        # DuckDB compares the UTF-8 bytes of the VARCHAR; so does the kernel
+        con = duckdb.connect()
+        try:
+            exp = con.execute(
+                "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+        finally:
+            con.close()
+        got = batch_jaro_winkler([a], [b])[0]
+        assert _bits(got) == _bits(exp), (a, b, got, exp)
+
+    @settings(max_examples=300, deadline=None)
+    @given(a=st.binary(min_size=0, max_size=40), b=st.binary(min_size=0, max_size=40))
+    def test_hypothesis_bytes_vs_scalar_ref(a, b):
+        # arbitrary bytes (incl. NULs / invalid UTF-8) can't ride a DuckDB
+        # VARCHAR; differential vs the scalar transcription instead
+        got = batch_jaro_winkler([a], [b])[0]
+        assert _bits(got) == _bits(jaro_winkler_ref(a, b)), (a, b)
+
+
+@pytest.mark.nightly
+def test_nightly_differential_vs_duckdb(ddb):
+    # reference-scale differential (mirrors the kernel nightly regime):
+    # 10^5 seeded pairs across alphabet densities, bit-exact vs DuckDB
+    rng = random.Random(424242)
+    a, b = [], []
+    for alphabet, n, maxlen in [
+        ("abcdefgh", 40_000, 16),
+        ("ab", 20_000, 10),
+        ("abcdefghijklmnopqrstuvwxyz0123456789", 30_000, 48),
+        ("ab", 10_000, 80),
+    ]:
+        for _ in range(n):
+            a.append("".join(rng.choice(alphabet) for _ in range(rng.randint(0, maxlen))))
+            b.append("".join(rng.choice(alphabet) for _ in range(rng.randint(0, maxlen))))
+    got = batch_jaro_winkler(a, b)
+    exp = ddb.execute(
+        "SELECT jaro_winkler_similarity(a, b) FROM (SELECT unnest(?) AS a, unnest(?) AS b)",
+        [a, b],
+    ).fetchnumpy()
+    exp = np.asarray(next(iter(exp.values())))
+    neq = np.flatnonzero(got.view(np.int64) != exp.view(np.int64))
+    assert neq.size == 0, [(a[i], b[i], got[i], exp[i]) for i in neq[:5]]
+
+
 def test_udf_parity(spark):
     import pyspark.sql.functions as F
 
