@@ -43,9 +43,56 @@ def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Real-decode track: payloads are REAL binary PPM (P6) images, synthesized
+# deterministically from the documents table (dims from the text's byte
+# length, raster from a doc_id-seeded formula), then decoded by the pure-
+# NumPy codec in operators/ppm.py — no stub anywhere on this path. The
+# raster formula is closed-form, so the DuckDB twin re-derives dimensions
+# and exact per-channel sums from (doc_id, strlen) alone.
+_PPM_W = (4, 13)  # w = 4 + L % 13
+_PPM_H = (3, 7)  # h = 3 + (L * 5) % 7
+
+
+def _ppm_payloads(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, payload) where payload is a valid P6 image:
+    pixel byte i = (doc_id*31 + i*7) % 256 over a w*h*3 raster."""
+    import numpy as np
+    import pandas as pd
+
+    from levenshtein_spark.operators.ppm import encode_ppm
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                L = len(str(text).encode("utf-8"))
+                w = _PPM_W[0] + L % _PPM_W[1]
+                h = _PPM_H[0] + (L * 5) % _PPM_H[1]
+                i = np.arange(w * h * 3, dtype=np.int64)
+                px = ((int(doc_id) * 31 + i * 7) % 256).astype(np.uint8)
+                payloads.append(encode_ppm(px.reshape(h, w, 3)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return d.mapInPandas(run, "doc_id long, payload binary")
+
+
+def q_multimodal_decode_ppm(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode + feature extraction: synthesize P6 payloads, then
+    ``operators/media.extract_image_features`` parses the actual image bytes
+    (header grammar, raster reshape) and aggregates exact int64 channel sums
+    → one double divide per mean, bit-reproducible in the SQL twin."""
+    from levenshtein_spark.operators.media import extract_image_features
+
+    d = tbl(spark, sf, "documents").select("doc_id", "text")
+    return extract_image_features(_ppm_payloads(d))
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_decode_ppm": q_multimodal_decode_ppm,
 }
 
 ORACLES = {
@@ -65,5 +112,28 @@ SELECT d.doc_id,
        sha256(substr(d.text, CAST(t.i AS BIGINT) * {_FRAME_BYTES} + 1, {_FRAME_BYTES})) AS frame_sha
 FROM documents d,
      UNNEST(range(0, CAST(ceil(strlen(d.text) / {_FRAME_BYTES}.0) AS BIGINT), {_EVERY})) AS t(i)
+""",
+    # dimensions and raster are closed-form in (doc_id, strlen), so the twin
+    # re-derives exact integer channel sums and the same single-divide means
+    "multimodal_decode_ppm": f"""
+WITH dims AS (
+  SELECT doc_id,
+         {_PPM_W[0]} + (strlen(text) % {_PPM_W[1]}) AS w,
+         {_PPM_H[0]} + ((strlen(text) * 5) % {_PPM_H[1]}) AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, t.i AS i,
+         (d.doc_id * 31 + t.i * 7) % 256 AS v
+  FROM dims d, UNNEST(range(0, CAST(d.w * d.h * 3 AS BIGINT))) AS t(i)
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(sum(CASE WHEN i % 3 = 0 THEN v END) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(sum(CASE WHEN i % 3 = 1 THEN v END) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS DOUBLE) / (w * h) AS mean_b
+FROM px
+GROUP BY doc_id, w, h
 """,
 }

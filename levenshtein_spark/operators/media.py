@@ -55,16 +55,38 @@ def decode_image(payload: bytes) -> dict:
     return {"width": int(img.width), "height": int(img.height)}
 
 
+def decode_ppm_meta(payload: bytes) -> dict:
+    """REAL decode of a binary PPM (P6) payload — the pure-NumPy codec in
+    ``operators/ppm.py``; no media library needed. Raises ``ValueError`` on
+    non-PPM bytes (callers choose fallback policy via the codec flag)."""
+    from levenshtein_spark.operators.ppm import decode_ppm
+
+    pixels = decode_ppm(payload)
+    return {"width": int(pixels.shape[1]), "height": int(pixels.shape[0])}
+
+
+def _auto_decode(payload: bytes) -> dict:
+    if payload[:2] == b"P6":
+        return decode_ppm_meta(payload)
+    return decode_stub(payload)
+
+
 def _pick_decoder(codec: str):
     if codec == "stub":
         return decode_stub
+    if codec == "ppm":
+        return decode_ppm_meta
     if codec == "pil":
         if not HAS_PIL:
             raise NotImplementedError("codec='pil' requested but PIL is not importable")
         return decode_image
     if codec == "auto":
-        return decode_image if HAS_PIL else decode_stub
-    raise ValueError(f"unknown codec {codec!r} (expected 'auto', 'pil', or 'stub')")
+        # richest codec first; PPM payloads (P6 magic) decode for real even
+        # without PIL; everything else falls back to the deterministic stub
+        return decode_image if HAS_PIL else _auto_decode
+    raise ValueError(
+        f"unknown codec {codec!r} (expected 'auto', 'pil', 'ppm', or 'stub')"
+    )
 
 
 def extract_media_meta(
@@ -174,6 +196,81 @@ def resize_stub(
                     "width": width,
                     "height": height,
                     "payload": out_payloads,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = (
+    "doc_id long, width long, height long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def extract_image_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image feature extraction: decode PPM payloads (operators/ppm.py,
+    no codec libraries) → dimensions + per-channel means.
+
+    Means are computed as exact int64 channel sums followed by ONE double
+    divide, so each value is a single correctly-rounded IEEE op on integers
+    any engine can reproduce bit-for-bit from the raster definition — the
+    same parity discipline as the idf/B-cubed quantization elsewhere."""
+    import numpy as np
+
+    from levenshtein_spark.operators.ppm import channel_sums, decode_ppm
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, mr, mg, mb = [], [], [], [], []
+            for p in pdf[payload_col]:
+                px = decode_ppm(p)
+                sr, sg, sb, n = channel_sums(px)
+                w.append(px.shape[1])
+                h.append(px.shape[0])
+                mr.append(sr / n)
+                mg.append(sg / n)
+                mb.append(sb / n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": np.asarray(w, np.int64),
+                    "height": np.asarray(h, np.int64),
+                    "mean_r": np.asarray(mr, np.float64),
+                    "mean_g": np.asarray(mg, np.float64),
+                    "mean_b": np.asarray(mb, np.float64),
+                }
+            )
+
+    return df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_ppm(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize: decode PPM → nearest-neighbor resample →
+    re-encode PPM (same mapInPandas shape as ``resize_stub``, which remains
+    the fallback for payloads with no decodable format)."""
+    from levenshtein_spark.operators.ppm import decode_ppm, encode_ppm, resize_nearest
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                encode_ppm(resize_nearest(decode_ppm(p), width, height))
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "payload": out,
                 }
             )
 
