@@ -89,10 +89,56 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf: str) -> DataFrame:
     return extract_image_features(_ppm_payloads(d))
 
 
+# Audio leg: payloads are REAL RIFF/WAVE PCM files (operators/wav.py).
+# Stream parameters vary per doc; the raster formula is closed-form so the
+# twin re-derives exact integer energy sums from (doc_id, strlen) alone.
+_WAV_NS = (200, 57)  # n_samples = 200 + L % 57
+_WAV_RATES = (8000, 4000, 3)  # rate = 8000 + 4000 * (doc_id % 3)
+
+
+def _wav_payloads(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, payload): 16-bit PCM WAV, 1 or 2 channels,
+    sample value at flat index i = ((doc_id*13 + i*11) % 65536) - 32768."""
+    import numpy as np
+    import pandas as pd
+
+    from levenshtein_spark.operators.wav import encode_wav
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                L = len(str(text).encode("utf-8"))
+                n = _WAV_NS[0] + L % _WAV_NS[1]
+                ch = 1 + doc_id % 2
+                rate = _WAV_RATES[0] + _WAV_RATES[1] * (doc_id % _WAV_RATES[2])
+                i = np.arange(n * ch, dtype=np.int64)
+                v = ((doc_id * 13 + i * 11) % 65536) - 32768
+                payloads.append(encode_wav(v.astype(np.int16).reshape(n, ch), rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return d.mapInPandas(run, "doc_id long, payload binary")
+
+
+def q_multimodal_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode: parse the RIFF chunk list of actual WAV bytes →
+    stream parameters + energy stats (rms = sqrt(sum_sq/n), mean_abs =
+    sum_abs/n — correctly-rounded IEEE ops over exact int64 sums, so the
+    SQL twin reproduces the doubles bit-for-bit)."""
+    from levenshtein_spark.operators.media import extract_audio_features
+
+    d = tbl(spark, sf, "documents").select("doc_id", "text")
+    return extract_audio_features(_wav_payloads(d))
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_decode_ppm": q_multimodal_decode_ppm,
+    "multimodal_decode_wav": q_multimodal_decode_wav,
 }
 
 ORACLES = {
@@ -135,5 +181,31 @@ SELECT doc_id,
        CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS DOUBLE) / (w * h) AS mean_b
 FROM px
 GROUP BY doc_id, w, h
+""",
+    # sums are exact integers well under 2^53, so CAST-to-double is exact and
+    # each divide/sqrt is one correctly-rounded op — bit-equal to the Python
+    # int/int true division + math.sqrt in extract_audio_features
+    "multimodal_decode_wav": f"""
+WITH dims AS (
+  SELECT doc_id,
+         {_WAV_NS[0]} + (strlen(text) % {_WAV_NS[1]}) AS n,
+         1 + (doc_id % 2) AS ch,
+         {_WAV_RATES[0]} + {_WAV_RATES[1]} * (doc_id % {_WAV_RATES[2]}) AS rate
+  FROM documents
+),
+sv AS (
+  SELECT d.doc_id, d.n, d.ch, d.rate,
+         ((d.doc_id * 13 + t.i * 11) % 65536) - 32768 AS v
+  FROM dims d, UNNEST(range(0, CAST(d.n * d.ch AS BIGINT))) AS t(i)
+)
+SELECT doc_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(ch AS BIGINT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n AS DOUBLE) / rate AS duration_s,
+       sqrt(CAST(sum(v * v) AS DOUBLE) / (n * ch)) AS rms,
+       CAST(sum(abs(v)) AS DOUBLE) / (n * ch) AS mean_abs
+FROM sv
+GROUP BY doc_id, n, ch, rate
 """,
 }

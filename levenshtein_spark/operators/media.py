@@ -275,3 +275,50 @@ def resize_ppm(
             )
 
     return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate long, n_channels long, n_samples long, "
+    "duration_s double, rms double, mean_abs double"
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode + feature extraction: parse RIFF/WAVE payloads
+    (operators/wav.py, no codec libraries) → stream parameters + energy
+    stats. duration/rms/mean_abs are single correctly-rounded IEEE ops
+    (divide, sqrt) over exact int64 sums — the cross-engine bit-parity
+    discipline shared with extract_image_features."""
+    import math
+
+    import numpy as np
+
+    from levenshtein_spark.operators.wav import audio_stats, decode_wav
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rate, ch, ns, dur, rms, mabs = [], [], [], [], [], []
+            for p in pdf[payload_col]:
+                samples, sr = decode_wav(p)
+                ss, sa, n = audio_stats(samples)
+                rate.append(sr)
+                ch.append(samples.shape[1])
+                ns.append(samples.shape[0])
+                dur.append(samples.shape[0] / sr)
+                rms.append(math.sqrt(ss / n))
+                mabs.append(sa / n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sample_rate": np.asarray(rate, np.int64),
+                    "n_channels": np.asarray(ch, np.int64),
+                    "n_samples": np.asarray(ns, np.int64),
+                    "duration_s": np.asarray(dur, np.float64),
+                    "rms": np.asarray(rms, np.float64),
+                    "mean_abs": np.asarray(mabs, np.float64),
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_SCHEMA)
