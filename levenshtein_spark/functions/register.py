@@ -82,6 +82,21 @@ _CATALOG = {
     "noop": _sql_noop,
 }
 
+
+@pandas_udf(DoubleType())
+def _sql_jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    from levenshtein_spark.functions.jaro import batch_jaro_winkler
+
+    return pd.Series(batch_jaro_winkler(a.tolist(), b.tolist()))
+
+
+# Beyond the reference catalog: the companion ER comparator (functions/
+# jaro.py), named like DuckDB's builtin so SQL written against either
+# engine ports verbatim.
+_EXTRAS = {
+    "jaro_winkler_similarity": _sql_jaro_winkler,
+}
+
 _LEGACY = {
     "lev": "edit_dist",
     "damlev": "edit_dist_t",
@@ -99,6 +114,9 @@ def register_all(spark: SparkSession, legacy: bool = True) -> list[str]:
     names) as Spark SQL functions; returns the registered names."""
     names = []
     for name, udf in _CATALOG.items():
+        spark.udf.register(name, udf)
+        names.append(name)
+    for name, udf in _EXTRAS.items():
         spark.udf.register(name, udf)
         names.append(name)
     if legacy:

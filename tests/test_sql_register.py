@@ -72,3 +72,17 @@ def test_unbounded_and_osa_pin(sql):
     assert r.t == 3 and r.l == 3  # OSA == Lev here; restricted, not DL (=2)
     r = sql("SELECT edit_dist_t('string', 'strlng') AS a, damlev('string', 'strlng') AS b").collect()[0]
     assert r.a == r.b == 1
+
+
+def test_jaro_winkler_sql_name(sql):
+    """The extras surface: jaro_winkler_similarity named like DuckDB's
+    builtin, backed by the bit-pinned kernel (functions/jaro.py)."""
+    from levenshtein_spark.functions.jaro import batch_jaro_winkler
+
+    got = {r.name: r.jw for r in sql(
+        "SELECT name, jaro_winkler_similarity(name, 'Robert') AS jw FROM customers"
+    ).collect()}
+    names = sorted(got)
+    exp = batch_jaro_winkler(names, ["Robert"] * len(names))
+    for i, n in enumerate(names):
+        assert got[n] == exp[i], n
