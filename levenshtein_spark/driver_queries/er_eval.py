@@ -537,6 +537,67 @@ def q_fs_em_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_weighted_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The documents-track blocking graph: CBS-weighted candidate pairs
+    (same blocks + pair parameters as ``linkage_pairs``)."""
+    from levenshtein_spark.driver_queries.linkage import docs_as_code_files
+    from levenshtein_spark.operators.blocking import exploded_blocks
+    from levenshtein_spark.operators.normalize import normalize
+
+    n = normalize(docs_as_code_files(spark, sf), prefix_len=64)
+    blocks = exploded_blocks(n, len_band=32).persist()
+    return candidate_pairs(blocks, hot_threshold=200, num_salts=4)
+
+
+def q_metablocking_wnp(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted-node pruning (OR variant) of the documents blocking graph:
+    an edge survives if its CBS weight clears the local mean of at least
+    one endpoint. Exact integer cross-multiplication — no float means —
+    so the DuckDB twin hash-matches by construction."""
+    from levenshtein_spark.operators.metablocking import weighted_node_prune
+
+    pruned = weighted_node_prune(_docs_weighted_pairs(spark, sf).persist())
+    return pruned.select(
+        "id_a", "id_b", F.col("n_keys").cast("long").alias("n_keys")
+    )
+
+
+def q_metablocking_wep(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-edge pruning: keep edges at or above the global mean CBS
+    weight (w * n_edges >= total_weight, exact int64)."""
+    from levenshtein_spark.operators.metablocking import weight_edge_prune
+
+    pruned = weight_edge_prune(_docs_weighted_pairs(spark, sf).persist())
+    return pruned.select(
+        "id_a", "id_b", F.col("n_keys").cast("long").alias("n_keys")
+    )
+
+
+def q_block_purge_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Block-purging census per key family (len0 / len1 / mh): total vs
+    kept pairwise comparisons if blocks larger than the threshold were
+    dropped — the scorecard that picks the purge threshold BEFORE any pair
+    join runs."""
+    from levenshtein_spark.driver_queries.linkage import docs_as_code_files
+    from levenshtein_spark.operators.blocking import exploded_blocks
+    from levenshtein_spark.operators.metablocking import purge_stats
+    from levenshtein_spark.operators.normalize import normalize
+
+    n = normalize(docs_as_code_files(spark, sf), prefix_len=64)
+    blocks = exploded_blocks(n, len_band=32)
+    s = purge_stats(blocks, max_block_size=_PURGE_MAX)
+    return s.select(
+        "family",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("max_block_size").cast("long").alias("max_block_size"),
+        F.col("comparisons_total").cast("long").alias("comparisons_total"),
+        F.col("n_blocks_purged").cast("long").alias("n_blocks_purged"),
+        F.col("comparisons_kept").cast("long").alias("comparisons_kept"),
+    )
+
+
+_PURGE_MAX = 24
+
 QUERIES = {
     "snm_pairs": q_snm_pairs,
     "blocking_metrics_snm": q_blocking_metrics_snm,
@@ -547,6 +608,9 @@ QUERIES = {
     "linkage_cluster_f1_snm": q_linkage_cluster_f1_snm,
     "linkage_bcubed": q_linkage_bcubed,
     "jw_match_scores": q_jw_match_scores,
+    "metablocking_wnp": q_metablocking_wnp,
+    "metablocking_wep": q_metablocking_wep,
+    "block_purge_stats": q_block_purge_stats,
 }
 
 
@@ -813,6 +877,64 @@ FROM ({_CUST_PAIRS}) p
 WHERE jaro_winkler_similarity(name_a, name_b) >= {_JW_THRESHOLD!r}
 """,
 }
+
+
+def _metablocking_sqls() -> dict[str, str]:
+    """DuckDB twins for the meta-blocking queries. The weighted blocking
+    graph reuses the linkage track's exact block-key SQL; every pruning
+    comparison is integer cross-multiplication, so the rows are
+    bit-identical across engines with no float anywhere."""
+    from levenshtein_spark.driver_queries.linkage import _docs_blocks_sql
+
+    weighted = f"""
+WITH blocks AS ({_docs_blocks_sql()}),
+w AS (
+  SELECT l.id AS id_a, r.id AS id_b, CAST(count(*) AS BIGINT) AS n_keys
+  FROM blocks l JOIN blocks r ON l.block_key = r.block_key AND l.id < r.id
+  GROUP BY l.id, r.id
+)"""
+    wnp = f"""{weighted},
+sym AS (
+  SELECT id_a AS id, n_keys FROM w
+  UNION ALL
+  SELECT id_b AS id, n_keys FROM w
+),
+stats AS (
+  SELECT id, sum(n_keys) AS w_sum, count(*) AS degree FROM sym GROUP BY id
+)
+SELECT w.id_a, w.id_b, w.n_keys
+FROM w
+JOIN stats a ON a.id = w.id_a
+JOIN stats b ON b.id = w.id_b
+WHERE w.n_keys * a.degree >= a.w_sum OR w.n_keys * b.degree >= b.w_sum
+"""
+    wep = f"""{weighted},
+t AS (SELECT sum(n_keys) AS w_total, count(*) AS n_edges FROM w)
+SELECT id_a, id_b, n_keys FROM w, t WHERE n_keys * n_edges >= w_total
+"""
+    purge = f"""
+WITH blocks AS ({_docs_blocks_sql()}),
+sizes AS (SELECT block_key, count(*) AS sz FROM blocks GROUP BY block_key),
+fam AS (
+  SELECT split_part(block_key, '|', 1) AS family, sz, sz * (sz - 1) // 2 AS cmps
+  FROM sizes
+)
+SELECT family,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(max(sz) AS BIGINT) AS max_block_size,
+       CAST(sum(cmps) AS BIGINT) AS comparisons_total,
+       CAST(sum(CASE WHEN sz > {_PURGE_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks_purged,
+       CAST(sum(CASE WHEN sz > {_PURGE_MAX} THEN 0 ELSE cmps END) AS BIGINT) AS comparisons_kept
+FROM fam GROUP BY family
+"""
+    return {
+        "metablocking_wnp": wnp,
+        "metablocking_wep": wep,
+        "block_purge_stats": purge,
+    }
+
+
+ORACLES.update(_metablocking_sqls())
 
 
 def _fs_em_sql(cc_select: str | None = None) -> str:
