@@ -283,6 +283,53 @@ def q_text_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_T2_WIN = 12
+
+
+def q_code_clones_type2(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 code-clone classes: documents identical up to a CONSISTENT
+    renaming of their tokens (the clone-detection taxonomy's "parameterized
+    clone" — type-1 is exact-after-whitespace, which ``dedup_exact``
+    already covers; type-3/4 need near-dup machinery, covered by
+    ``dedup_minhash``/``edjoin_docs``).
+
+    Canonical form: each token replaced by the 1-based index of its FIRST
+    occurrence in the stream, so ``a b a c`` and ``x y x z`` both become
+    ``1 2 1 4``-style streams and collide iff a token bijection maps one
+    stream to the other. Keyed on the leading ``_T2_WIN``-token window —
+    whole-file parameterized clones are vanishingly rare in any real corpus
+    (and absent in this one), so clone detectors fingerprint normalized
+    leading/windowed context; full-stream keying is this same expression
+    with the slice dropped. Per-row arithmetic only — transform/
+    array_position are JVM higher-order functions (interpreted per element,
+    O(W²) per doc, embarrassingly parallel); the only shuffle is the final
+    clone-key groupBy, map-side combinable. For corpora of very long files
+    the canonicalization swaps to posexplode + groupBy(doc, token) min(pos)
+    at the cost of one extra shuffle; at window widths the shuffle-free HOF
+    form wins.
+    """
+    d = tbl(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.slice(word_tokens(F.col("text")), 1, _T2_WIN).alias("toks"),
+    )
+    canon = F.expr(
+        "array_join(transform(toks, t -> cast(array_position(toks, t) as string)), ',')"
+    )
+    keyed = t.select(
+        "doc_id", F.md5(F.concat_ws("|", F.col("lang"), canon)).alias("clone_key")
+    )
+    return (
+        keyed.groupBy("clone_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("rep_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 QUERIES = {
     "sample_split": q_sample_split,
     "sample_stratified": q_sample_stratified,
@@ -292,6 +339,7 @@ QUERIES = {
     "corpus_profile": q_corpus_profile,
     "decontaminate": q_decontaminate,
     "text_redact_pii": q_text_redact_pii,
+    "code_clones_type2": q_code_clones_type2,
 }
 
 
@@ -446,5 +494,23 @@ SELECT n_docs, total_tokens,
        round(total_tokens * 1.0 / n_docs, 6) AS avg_tokens,
        p50_chars, p90_chars, p99_chars, n_langs, vocab_size
 FROM ds, v
+""",
+    # type-2 clone key: first-occurrence index stream; Spark array_position
+    # and DuckDB list_position are both 1-based and every element is found,
+    # so the canonical strings are byte-identical
+    "code_clones_type2": f"""
+WITH t AS (
+  SELECT doc_id, lang, list_slice({_DD_WORDS}, 1, {_T2_WIN}) AS toks FROM documents
+),
+k AS (
+  SELECT doc_id,
+         md5(lang || '|' || array_to_string(
+             list_transform(toks, x -> CAST(list_position(toks, x) AS VARCHAR)),
+             ',')) AS clone_key
+  FROM t
+)
+SELECT clone_key, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+FROM k GROUP BY clone_key HAVING count(*) >= 2
 """,
 }
