@@ -597,6 +597,67 @@ def q_block_purge_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _PURGE_MAX = 24
+_CANOPY_TIGHT = 2
+_CANOPY_LOOSE = 1
+
+
+def q_canopy_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic canopy pre-clustering over the documents blocking
+    graph (operators/canopy.py): cheap metric = shared-block-key count,
+    tight >= 2 keys, loose >= 1; centers by id-dominance; loose
+    multi-assignment + self-canopy coverage."""
+    from levenshtein_spark.driver_queries.linkage import docs_as_code_files
+    from levenshtein_spark.operators.canopy import canopy_assign
+    from levenshtein_spark.operators.normalize import normalize
+
+    n = normalize(docs_as_code_files(spark, sf), prefix_len=64)
+    ids = n.select("id")
+    weighted = _docs_weighted_pairs(spark, sf).persist()
+    return canopy_assign(
+        weighted, ids, t_tight=_CANOPY_TIGHT, t_loose=_CANOPY_LOOSE
+    )
+
+
+def q_linkage_cluster_density(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster edge density of the ER output — 2e / (n(n-1)) over the
+    match-edge graph. Density ~1 means a clique (every member pair scored
+    as a match: high-confidence entity); low density means the cluster
+    exists only through transitive chains — exactly the clusters a
+    reviewer should see first. Counts are exact ints; the density is one
+    correctly-rounded divide, bit-identical across engines."""
+    from levenshtein_spark.driver_queries.linkage import _customer_scored
+    from levenshtein_spark.operators.clustering import cluster_labels
+
+    scored = _customer_scored(spark, sf)
+    e = edges_of(scored)
+    ids = tbl(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
+    labels = cluster_labels(ids, e)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    # every closure edge is within-cluster; count per cluster via one join
+    ec = (
+        e.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        sizes.where(F.col("n_members") >= 2)
+        .join(ec, "cluster_id", "left")
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
+            F.round(
+                F.coalesce(F.col("n_edges"), F.lit(0)).cast("double")
+                * 2.0
+                / (
+                    F.col("n_members").cast("double")
+                    * (F.col("n_members").cast("double") - 1.0)
+                ),
+                6,
+            ).alias("density"),
+        )
+    )
+
 
 QUERIES = {
     "snm_pairs": q_snm_pairs,
@@ -611,6 +672,8 @@ QUERIES = {
     "metablocking_wnp": q_metablocking_wnp,
     "metablocking_wep": q_metablocking_wep,
     "block_purge_stats": q_block_purge_stats,
+    "canopy_assign": q_canopy_assign,
+    "linkage_cluster_density": q_linkage_cluster_density,
 }
 
 
@@ -927,14 +990,69 @@ SELECT family,
        CAST(sum(CASE WHEN sz > {_PURGE_MAX} THEN 0 ELSE cmps END) AS BIGINT) AS comparisons_kept
 FROM fam GROUP BY family
 """
+    canopy = f"""{weighted},
+norm_ids AS (SELECT id FROM ({{docs_norm}}) n),
+dominated AS (SELECT DISTINCT id_b AS id FROM w WHERE n_keys >= {_CANOPY_TIGHT}),
+centers AS (
+  SELECT i.id AS center FROM norm_ids i
+  LEFT JOIN dominated d ON d.id = i.id WHERE d.id IS NULL
+),
+sym AS (
+  SELECT id_a AS id, id_b AS nbr FROM w WHERE n_keys >= {_CANOPY_LOOSE}
+  UNION ALL
+  SELECT id_b AS id, id_a AS nbr FROM w WHERE n_keys >= {_CANOPY_LOOSE}
+),
+assigned AS (
+  SELECT s.id, c.center FROM sym s JOIN centers c ON c.center = s.nbr
+  UNION
+  SELECT center AS id, center FROM centers
+),
+orphans AS (
+  SELECT i.id, i.id AS center FROM norm_ids i
+  LEFT JOIN (SELECT DISTINCT id FROM assigned) a ON a.id = i.id
+  WHERE a.id IS NULL
+)
+SELECT id, center AS canopy_id FROM assigned
+UNION
+SELECT id, center AS canopy_id FROM orphans
+"""
     return {
         "metablocking_wnp": wnp,
         "metablocking_wep": wep,
         "block_purge_stats": purge,
+        "canopy_assign": canopy,
     }
 
 
+def _canopy_sql() -> str:
+    from levenshtein_spark.driver_queries.linkage import _DOCS_NORM
+
+    return _metablocking_sqls()["canopy_assign"].replace("{docs_norm}", _DOCS_NORM)
+
+
 ORACLES.update(_metablocking_sqls())
+ORACLES["canopy_assign"] = _canopy_sql()
+
+from levenshtein_spark.driver_queries.linkage import _CUST_CLUSTERS
+
+ORACLES["linkage_cluster_density"] = f"""
+WITH labels AS ({_CUST_CLUSTERS}),
+edges AS ({_CUST_EDGES}),
+sizes AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id),
+ec AS (
+  SELECT l.cluster_id, count(*) AS n_edges
+  FROM edges e JOIN labels l ON l.id = e.src
+  GROUP BY l.cluster_id
+)
+SELECT CAST(s.cluster_id AS BIGINT) AS cluster_id,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(coalesce(ec.n_edges, 0) AS BIGINT) AS n_edges,
+       round(CAST(coalesce(ec.n_edges, 0) AS DOUBLE) * 2.0
+             / (CAST(s.n_members AS DOUBLE) * (CAST(s.n_members AS DOUBLE) - 1.0)),
+             6) AS density
+FROM sizes s LEFT JOIN ec ON ec.cluster_id = s.cluster_id
+WHERE s.n_members >= 2
+"""
 
 
 def _fs_em_sql(cc_select: str | None = None) -> str:
