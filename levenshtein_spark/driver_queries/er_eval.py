@@ -659,6 +659,23 @@ def q_linkage_cluster_density(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_phonetic_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Phonetic blocking census: soundex of the leading p_name word — the
+    classic person/name blocking key family, here exercising Spark's JVM
+    builtin against a GENERATED DuckDB twin (functions/phonetic.py
+    dd_soundex — DuckDB has no soundex; the SQL reimplements the
+    NARA/Commons variant from translate + bounded collapse passes, pinned
+    bit-for-bit in tests/test_phonetic.py). Pure codegen expression + one
+    map-side-combining groupBy — a zero-Python blocking key at any scale."""
+    p = tbl(spark, sf, "part")
+    w = p.select(F.split(F.col("p_name"), " ").getItem(0).alias("w"))
+    return w.groupBy(F.soundex("w").alias("code")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.countDistinct("w").cast("long").alias("n_words"),
+        F.min("w").alias("example"),
+    )
+
+
 QUERIES = {
     "snm_pairs": q_snm_pairs,
     "blocking_metrics_snm": q_blocking_metrics_snm,
@@ -674,6 +691,7 @@ QUERIES = {
     "block_purge_stats": q_block_purge_stats,
     "canopy_assign": q_canopy_assign,
     "linkage_cluster_density": q_linkage_cluster_density,
+    "phonetic_blocks": q_phonetic_blocks,
 }
 
 
@@ -1032,6 +1050,17 @@ def _canopy_sql() -> str:
 
 ORACLES.update(_metablocking_sqls())
 ORACLES["canopy_assign"] = _canopy_sql()
+
+from levenshtein_spark.functions.phonetic import dd_soundex
+
+ORACLES["phonetic_blocks"] = f"""
+WITH w AS (SELECT split_part(p_name, ' ', 1) AS w FROM part)
+SELECT {dd_soundex('w')} AS code,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+       min(w) AS example
+FROM w GROUP BY 1
+"""
 
 from levenshtein_spark.driver_queries.linkage import _CUST_CLUSTERS
 
