@@ -135,3 +135,86 @@ def test_salting_invariance(spark, blocks):
         a = {(r.id_a, r.id_b, r.n_keys) for r in op(w_plain).collect()}
         b = {(r.id_a, r.id_b, r.n_keys) for r in op(w_salted).collect()}
         assert a == b
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+if HAS_HYPOTHESIS:
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        assigns=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),  # block
+                st.integers(min_value=0, max_value=14),  # id
+            ),
+            min_size=2,
+            max_size=60,
+        ),
+        hot=st.integers(min_value=1, max_value=8),
+        t_tight=st.integers(min_value=1, max_value=3),
+    )
+    def test_hypothesis_prune_and_canopy_vs_brute(spark, assigns, hot, t_tight):
+        """Random block tables: WNP (both modes), WEP, and canopy must all
+        agree with plain-Python recomputation, under arbitrary hot-block
+        salting thresholds (salting must be invisible)."""
+        from levenshtein_spark.operators.canopy import canopy_assign
+
+        rows = sorted({(f"b{b}", i) for b, i in assigns})
+        ids = sorted({i for _, i in rows})
+        blocks = spark.createDataFrame(rows, "block_key string, id long")
+        weighted = candidate_pairs(blocks, hot_threshold=hot, num_salts=3).persist()
+
+        w = brute_pairs(rows)
+        sums, degs = {}, {}
+        for (a, b), wt in w.items():
+            for n in (a, b):
+                sums[n] = sums.get(n, 0) + wt
+                degs[n] = degs.get(n, 0) + 1
+
+        got = {(r.id_a, r.id_b, r.n_keys) for r in weighted.collect()}
+        assert got == {(a, b, wt) for (a, b), wt in w.items()}
+
+        for mode, comb in (("or", any), ("and", all)):
+            exp = {
+                p
+                for p, wt in w.items()
+                if comb(wt * degs[e] >= sums[e] for e in p)
+            }
+            got_m = {
+                (r.id_a, r.id_b)
+                for r in weighted_node_prune(weighted, mode=mode).collect()
+            }
+            assert got_m == exp, mode
+
+        total, n = sum(w.values()), len(w)
+        exp_wep = {p for p, wt in w.items() if wt * n >= total}
+        got_wep = {(r.id_a, r.id_b) for r in weight_edge_prune(weighted).collect()}
+        assert got_wep == exp_wep
+
+        # canopy: dominated/centers/loose-assignment/orphan recomputation
+        dominated = {b for (a, b), k in w.items() if k >= t_tight}
+        centers = {i for i in ids if i not in dominated}
+        exp_c = set()
+        for (a, b), k in w.items():
+            if b in centers:
+                exp_c.add((a, b))
+            if a in centers:
+                exp_c.add((b, a))
+        exp_c |= {(c, c) for c in centers}
+        covered = {i for i, _ in exp_c}
+        exp_c |= {(i, i) for i in ids if i not in covered}
+        ids_df = spark.createDataFrame([(i,) for i in ids], "id long")
+        got_c = {
+            (r.id, r.canopy_id)
+            for r in canopy_assign(
+                weighted, ids_df, t_tight=t_tight, t_loose=1
+            ).collect()
+        }
+        assert got_c == exp_c
