@@ -676,6 +676,57 @@ def q_phonetic_blocks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_blocking_recall_by_family(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key-family recall attribution over the customer track's
+    pigeonhole blocking: for each of the three segment-pair families
+    (s1s2 / s1s3 / s2s3), how many gold edges does it cover, and how many
+    does ONLY it cover — the scorecard that says which blocking pass is
+    load-bearing and which is redundant (the per-family version of the
+    multipass-SNM analysis). Gold = the pipeline's own edge set (lossless
+    blocking, so it equals true same-nation dist<=1); flags are plain
+    substring equality, the whole query is one scan + one small aggregate
+    per family."""
+    gold = edges_of(_customer_scored(spark, sf))
+    c = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    fat = (
+        gold.join(c.withColumnRenamed("id", "src").withColumnRenamed("name", "name_a"), "src")
+        .join(c.withColumnRenamed("id", "dst").withColumnRenamed("name", "name_b"), "dst")
+    )
+    seg = lambda col, pos: F.substring(col, pos, 3)
+    agree = {
+        p: (seg("name_a", 9 + 1 + 3 * i) == seg("name_b", 9 + 1 + 3 * i))
+        for i, p in enumerate(("s1", "s2", "s3"))
+    }
+    fa = agree["s1"] & agree["s2"]
+    fb = agree["s1"] & agree["s3"]
+    fc = agree["s2"] & agree["s3"]
+    fams = F.explode(
+        F.array(
+            F.struct(F.lit("s1s2").alias("family"), fa.alias("covered"), (fa & ~fb & ~fc).alias("only_this")),
+            F.struct(F.lit("s1s3").alias("family"), fb.alias("covered"), (fb & ~fa & ~fc).alias("only_this")),
+            F.struct(F.lit("s2s3").alias("family"), fc.alias("covered"), (fc & ~fa & ~fb).alias("only_this")),
+        )
+    )
+    return (
+        fat.select(fams.alias("f"))
+        .groupBy(F.col("f.family").alias("family"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gold"),
+            F.sum(F.when(F.col("f.covered"), 1).otherwise(0)).cast("long").alias("n_covered"),
+            F.sum(F.when(F.col("f.only_this"), 1).otherwise(0)).cast("long").alias("n_unique"),
+        )
+        .select(
+            "family",
+            "n_gold",
+            "n_covered",
+            "n_unique",
+            F.round(F.col("n_covered") / F.col("n_gold"), 6).alias("coverage"),
+        )
+    )
+
+
 QUERIES = {
     "snm_pairs": q_snm_pairs,
     "blocking_metrics_snm": q_blocking_metrics_snm,
@@ -692,6 +743,7 @@ QUERIES = {
     "canopy_assign": q_canopy_assign,
     "linkage_cluster_density": q_linkage_cluster_density,
     "phonetic_blocks": q_phonetic_blocks,
+    "blocking_recall_by_family": q_blocking_recall_by_family,
 }
 
 
@@ -1050,6 +1102,39 @@ def _canopy_sql() -> str:
 
 ORACLES.update(_metablocking_sqls())
 ORACLES["canopy_assign"] = _canopy_sql()
+
+# gold via brute force (no blocking) — the oracle must not presuppose the
+# pigeonhole's losslessness, it PROVES it: all names are fixed-length 18, so
+# lev<=1 is exactly one substitution and the Spark side's blocked edge set
+# must coincide
+ORACLES["blocking_recall_by_family"] = """
+WITH gold AS (
+  SELECT a.c_name AS na, b.c_name AS nb
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+   AND levenshtein(a.c_name, b.c_name) <= 1
+),
+f AS (
+  SELECT (substr(na, 10, 3) = substr(nb, 10, 3) AND substr(na, 13, 3) = substr(nb, 13, 3)) AS fa,
+         (substr(na, 10, 3) = substr(nb, 10, 3) AND substr(na, 16, 3) = substr(nb, 16, 3)) AS fb,
+         (substr(na, 13, 3) = substr(nb, 13, 3) AND substr(na, 16, 3) = substr(nb, 16, 3)) AS fc
+  FROM gold
+),
+e AS (
+  SELECT 's1s2' AS family, fa AS covered, (fa AND NOT fb AND NOT fc) AS only_this FROM f
+  UNION ALL
+  SELECT 's1s3', fb, (fb AND NOT fa AND NOT fc) FROM f
+  UNION ALL
+  SELECT 's2s3', fc, (fc AND NOT fa AND NOT fb) FROM f
+)
+SELECT family,
+       CAST(count(*) AS BIGINT) AS n_gold,
+       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(sum(CASE WHEN only_this THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS coverage
+FROM e GROUP BY family
+"""
 
 from levenshtein_spark.functions.phonetic import dd_soundex
 
