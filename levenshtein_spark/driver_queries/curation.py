@@ -330,6 +330,92 @@ def q_code_clones_type2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_T3_Q = 5  # tokens per fingerprint gram (MOSS uses ~5 for code token streams)
+_T3_MOD = 4  # keep gram hashes ≡ 0 (mod 4): deterministic 1/4 content sample
+_T3_DF_CAP = 16  # drop fingerprints shared by more docs (MOSS "too common" rule)
+_T3_MIN_OVERLAP = 0.8  # containment |A∩B| / min(|A|,|B|)
+
+
+def q_code_clones_type3(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-3 (near-miss) code-clone pairs via MOSS-style fingerprint-set
+    overlap (Schleimer et al., SIGMOD 2003): hash every ``_T3_Q``-token
+    gram, keep the deterministic mod-``_T3_MOD`` sample of gram hashes as
+    the document's fingerprint set, join documents on shared fingerprints,
+    and report pairs whose containment overlap |A∩B| / min(|A|,|B|) ≥
+    ``_T3_MIN_OVERLAP``. Completes the clone taxonomy next to
+    ``dedup_exact`` (type-1, exact) and ``code_clones_type2``
+    (parameterized renaming): type-3 clones differ by added/removed/edited
+    statements, so no exact key exists — overlap over content samples is
+    the standard detector.
+
+    Scale shape: gram hashing is one explode + codegen md5 scan (the flat
+    idiom of ``minhash_band_table`` — no interpreted-HOF re-evaluation),
+    and the fingerprint stream is slim ``(doc_id, hash)``. The self-join
+    key is the fingerprint VALUE, so the MOSS "too common" rule doubles as
+    block purging: fingerprints shared by more than ``_T3_DF_CAP``
+    documents are dropped before the join (the same census-then-join shape
+    as ``block_purge_stats``), bounding per-key fan-out at CAP² — the
+    documented recall trade every production clone detector makes. mod-p
+    sampling keeps ~1/MOD of grams per document regardless of corpus size,
+    so fingerprint volume scales with corpus length, never corpus count².
+    Documents whose grams all hash ≢0 (mod p) carry no fingerprints and
+    cannot match — the standard probabilistic-recall property of mod-p
+    schemes (winnowing's window guarantee is the fix; ``text_fingerprint``
+    carries the winnowing-min variant).
+    """
+    return type3_clone_pairs(tbl(spark, sf, "documents"))
+
+
+def type3_clone_pairs(d: DataFrame) -> DataFrame:
+    """Core of ``q_code_clones_type3`` over any (doc_id, text) DataFrame."""
+    from levenshtein_spark.functions.text import word_ngrams
+
+    g = d.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), _T3_Q)).alias("g")
+    ).where(F.col("g") != "")
+    fp = (
+        g.select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .where(F.col("h") % _T3_MOD == 0)
+        .distinct()
+    )
+    keep = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= _T3_DF_CAP
+    )
+    fp = fp.join(keep.select("h"), "h")
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    inter = (
+        fp.select(F.col("doc_id").alias("doc_id_a"), "h")
+        .join(fp.select(F.col("doc_id").alias("doc_id_b"), "h"), "h")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_fp").alias("n_a")),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_fp").alias("n_b")),
+            "doc_id_b",
+        )
+        .where(F.col("n_inter") / F.least("n_a", "n_b") >= _T3_MIN_OVERLAP)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_inter") / F.least("n_a", "n_b"), 6).alias("overlap"),
+        )
+    )
+
+
 QUERIES = {
     "sample_split": q_sample_split,
     "sample_stratified": q_sample_stratified,
@@ -340,6 +426,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "text_redact_pii": q_text_redact_pii,
     "code_clones_type2": q_code_clones_type2,
+    "code_clones_type3": q_code_clones_type3,
 }
 
 
@@ -512,5 +599,37 @@ k AS (
 SELECT clone_key, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS rep_doc_id
 FROM k GROUP BY clone_key HAVING count(*) >= 2
+""",
+    # type-3 MOSS fingerprints: same gram window, md5→long, mod-p sample,
+    # df cap, and containment formula as the Spark side; count(*) over the
+    # DISTINCT (doc_id, h) stream is the intersection size
+    "code_clones_type3": f"""
+WITH w AS (SELECT doc_id, {_DD_WORDS} AS w FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(w) - {_T3_Q - 1}, 1) + 1),
+    i -> array_to_string(list_slice(w, i, i + {_T3_Q - 1}), '_'))) AS g
+  FROM w
+),
+fp AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM g
+  WHERE g <> '' AND ('0x' || substr(md5(g), 1, 15))::BIGINT % {_T3_MOD} = 0
+),
+keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= {_T3_DF_CAP}),
+fp2 AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h)),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fp2 GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM fp2 a JOIN fp2 b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+       round(CAST(n_inter AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+FROM pr
+JOIN sz sa ON pr.doc_id_a = sa.doc_id
+JOIN sz sb ON pr.doc_id_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / least(sa.n, sb.n) >= {_T3_MIN_OVERLAP}
 """,
 }

@@ -81,3 +81,74 @@ def test_driver_query_groups(spark):
     )
     assert len(groups) == 1
     assert groups[0].n == 2 and groups[0].rep == 1
+
+
+# ---------------------------------------------------------------------------
+# Type-3 (near-miss) clones — MOSS fingerprint-set overlap
+# ---------------------------------------------------------------------------
+
+
+def _gram_hash(gram: str) -> int:
+    """The engine's gram hash: md5 hex prefix(15) as int (matches both the
+    Spark conv(substring(md5)) expression and the DuckDB twin)."""
+    import hashlib
+
+    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+
+def _five_tokens(mod_ok: bool) -> str:
+    """A 5-token doc whose single gram's hash does (not) pass the mod-4
+    sample — searched deterministically so the tests don't depend on luck."""
+    from levenshtein_spark.driver_queries.curation import _T3_MOD
+
+    for i in range(1000):
+        toks = [f"tok{i}a", f"tok{i}b", f"tok{i}c", f"tok{i}d", f"tok{i}e"]
+        hit = _gram_hash("_".join(toks)) % _T3_MOD == 0
+        if hit == mod_ok:
+            return " ".join(toks)
+    raise AssertionError("unreachable: 1000 misses at rate 1/4")
+
+
+def _t3(spark, rows):
+    from levenshtein_spark.driver_queries.curation import type3_clone_pairs
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return type3_clone_pairs(df).collect()
+
+
+def test_type3_containment_pair(spark):
+    """B = A plus appended statements: every fingerprint of A survives in B,
+    so containment overlap is EXACTLY 1.0 regardless of which grams the
+    mod-p sample keeps — the deterministic planted case. An unrelated doc
+    shares no grams and must not pair."""
+    base = " ".join(f"stmt{i} call{i}" for i in range(20))  # 40 tokens
+    near = base + " " + " ".join(f"extra{i}" for i in range(8))
+    other = " ".join(f"alien{i} blob{i}" for i in range(20))
+    out = _t3(spark, [(1, base), (2, near), (3, other)])
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_id_a, r.doc_id_b) == (1, 2)
+    assert r.n_a > 0 and r.n_inter == r.n_a  # full containment
+    assert r.overlap == 1.0
+
+
+def test_type3_df_cap_boundary(spark):
+    """A fingerprint shared by more than _T3_DF_CAP docs is purged before
+    the join (the MOSS too-common rule): 16 identical docs pair (C(16,2)
+    = 120), 17 identical docs produce NOTHING."""
+    from levenshtein_spark.driver_queries.curation import _T3_DF_CAP
+
+    text = _five_tokens(mod_ok=True)  # exactly one gram, sampled
+    at_cap = _t3(spark, [(i, text) for i in range(_T3_DF_CAP)])
+    assert len(at_cap) == _T3_DF_CAP * (_T3_DF_CAP - 1) // 2
+    assert all(r.overlap == 1.0 and r.doc_id_a < r.doc_id_b for r in at_cap)
+    over_cap = _t3(spark, [(i, text) for i in range(_T3_DF_CAP + 1)])
+    assert over_cap == []
+
+
+def test_type3_unsampled_doc_cannot_match(spark):
+    """mod-p sampling is probabilistic recall: a doc whose only gram hash
+    fails the mod filter has no fingerprints, so even its exact twin does
+    not pair here (dedup_exact is the operator that catches it)."""
+    text = _five_tokens(mod_ok=False)
+    assert _t3(spark, [(1, text), (2, text)]) == []
