@@ -43,8 +43,10 @@ from levenshtein_spark.driver_queries import tbl
 from levenshtein_spark.driver_queries.linkage import (
     _CUST_EDGES,
     _CUST_PAIRS,
+    _customer_blocks,
     _customer_scored,
 )
+from levenshtein_spark.operators.packing import global_prefix_sum
 from levenshtein_spark.functions.distance import bounded_edit_dist
 from levenshtein_spark.operators.clustering import cluster_labels
 from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
@@ -727,6 +729,64 @@ def q_blocking_recall_by_family(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PROG_BUDGET = 2000
+
+
+def q_progressive_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Progressive ER comparison schedule (pay-as-you-go resolution, Whang
+    et al. ICDE 2013 / Papenbrock et al. TKDE 2015): order the blocked
+    candidate universe by CHEAP evidence — the CBS weight ``n_keys``
+    (shared pigeonhole keys, 1–3) the blocking graph already carries —
+    before ANY expensive comparison runs, emit the first ``_PROG_BUDGET``
+    comparisons in schedule order, and attach the running gold recall so
+    the emitted prefix doubles as the recall@budget curve. Tie-break
+    (id_a, id_b) makes the schedule a deterministic total order.
+
+    Scale shape: the total order is realized with ONE range exchange +
+    per-partition sort + broadcast offset table (``global_prefix_sum``
+    with two value streams — running comparison count and running gold
+    hits share the shuffle); never a single-partition window. Gold is the
+    pipeline's own edge set (the pigeonhole is lossless for dist≤1, proven
+    by `linkage_f1`/`blocking_recall_by_family` brute-force twins), and
+    the recall denominator is a 1-row broadcast aggregate.
+    """
+    blocks = _customer_blocks(spark, sf).persist()
+    cand = candidate_pairs(blocks, hot_threshold=500, num_salts=8).select(
+        "id_a", "id_b", F.col("n_keys").cast("long").alias("w")
+    )
+    gold = edges_of(_customer_scored(spark, sf)).select(
+        F.col("src").alias("id_a"),
+        F.col("dst").alias("id_b"),
+        F.lit(1).cast("long").alias("hit"),
+    )
+    lab = (
+        cand.join(gold, ["id_a", "id_b"], "left")
+        .withColumn("hit", F.coalesce("hit", F.lit(0)).cast("long"))
+        .withColumn("neg_w", -F.col("w"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = global_prefix_sum(
+        lab,
+        ["neg_w", "id_a", "id_b"],
+        ["one", "hit"],
+        out_col=["n_compared", "cum_hits"],
+    )
+    total = F.broadcast(gold.agg(F.count(F.lit(1)).cast("long").alias("gold_total")))
+    return (
+        ranked.where(F.col("n_compared") <= _PROG_BUDGET)
+        .crossJoin(total)
+        .select(
+            (F.col("n_compared") - 1).alias("pos"),
+            "id_a",
+            "id_b",
+            "w",
+            "hit",
+            "cum_hits",
+            F.round(F.col("cum_hits") / F.col("gold_total"), 6).alias("recall"),
+        )
+    )
+
+
 QUERIES = {
     "snm_pairs": q_snm_pairs,
     "blocking_metrics_snm": q_blocking_metrics_snm,
@@ -744,6 +804,7 @@ QUERIES = {
     "linkage_cluster_density": q_linkage_cluster_density,
     "phonetic_blocks": q_phonetic_blocks,
     "blocking_recall_by_family": q_blocking_recall_by_family,
+    "progressive_pairs": q_progressive_pairs,
 }
 
 
@@ -1134,6 +1195,46 @@ SELECT family,
        round(CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS coverage
 FROM e GROUP BY family
+"""
+
+# progressive schedule: same candidate universe (w = number of agreeing
+# segment-pair families = CBS n_keys), gold = the established _CUST_EDGES
+# twin, ranked by one window under the identical (w DESC, id_a, id_b) order
+ORACLES["progressive_pairs"] = f"""
+WITH seg AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         substr(c_name, 10, 3) AS s1, substr(c_name, 13, 3) AS s2,
+         substr(c_name, 16, 3) AS s3
+  FROM customer
+),
+cand AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         CAST((CASE WHEN a.s1 = b.s1 AND a.s2 = b.s2 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.s1 = b.s1 AND a.s3 = b.s3 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.s2 = b.s2 AND a.s3 = b.s3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS w
+  FROM seg a JOIN seg b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+   AND ((a.s1 = b.s1 AND a.s2 = b.s2) OR (a.s1 = b.s1 AND a.s3 = b.s3)
+        OR (a.s2 = b.s2 AND a.s3 = b.s3))
+),
+gold AS (SELECT src AS id_a, dst AS id_b FROM ({_CUST_EDGES}) e),
+lab AS (
+  SELECT c.id_a, c.id_b, c.w,
+         CAST(CASE WHEN g.id_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
+  FROM cand c LEFT JOIN gold g ON c.id_a = g.id_a AND c.id_b = g.id_b
+),
+r AS (
+  SELECT id_a, id_b, w, hit,
+         CAST(row_number() OVER (ORDER BY w DESC, id_a, id_b) - 1 AS BIGINT) AS pos,
+         CAST(sum(hit) OVER (ORDER BY w DESC, id_a, id_b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hits
+  FROM lab
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS gold_total FROM gold)
+SELECT pos, id_a, id_b, w, hit, cum_hits,
+       round(CAST(cum_hits AS DOUBLE) / gold_total, 6) AS recall
+FROM r, t WHERE pos < {_PROG_BUDGET}
 """
 
 from levenshtein_spark.functions.phonetic import dd_soundex

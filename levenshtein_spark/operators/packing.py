@@ -33,8 +33,8 @@ from pyspark.sql import DataFrame, Window
 def global_prefix_sum(
     df: DataFrame,
     order_cols: list[str],
-    value_col: str,
-    out_col: str = "cum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cum",
     group_cols: list[str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -44,18 +44,28 @@ def global_prefix_sum(
     within its group (append a unique id as the last column) — uniqueness
     makes the result independent of where the range partitioner cuts.
 
-    Driver-side data: one (partition, group, sum) row per partition×group.
+    ``value_col``/``out_col`` may be parallel lists: every stream shares the
+    ONE range exchange, per-partition sort, and offset census (a consumer
+    needing both a running total and a running rank pays one shuffle, not
+    two).
+
+    Driver-side data: one (partition, group, sums) row per partition×group.
     """
     group_cols = group_cols or []
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col must have the same length")
     dtypes = dict(df.dtypes)
     # integral only: a float prefix sum cannot be cut-independent (float
     # addition is not associative), so truncating offsets would silently
     # produce partitioning-dependent results — refuse instead
-    if dtypes[value_col] not in ("bigint", "int", "smallint", "tinyint"):
-        raise ValueError(
-            f"value_col must be an integral type, got {dtypes[value_col]} — "
-            "float prefix sums are not partitioning-independent"
-        )
+    for vc in value_cols:
+        if dtypes[vc] not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"value_col must be an integral type, got {dtypes[vc]} — "
+                "float prefix sums are not partitioning-independent"
+            )
     cols = [F.col(c) for c in [*group_cols, *order_cols]]
     part = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
     part = part.withColumn("_pid", F.spark_partition_id())
@@ -63,7 +73,9 @@ def global_prefix_sum(
     # cuts (the range partitioner samples; two separate computations could
     # legally choose different boundaries).
     part = part.persist()
-    rows = part.groupBy("_pid", *group_cols).agg(F.sum(value_col).alias("_s")).collect()
+    rows = part.groupBy("_pid", *group_cols).agg(
+        *[F.sum(vc).alias(f"_s{i}") for i, vc in enumerate(value_cols)]
+    ).collect()
     # offsets: for each group, the sum of that group's values in EARLIER
     # partitions (range partitioning keeps each group's rows contiguous,
     # but a group may span a cut, hence per-(pid, group) accounting)
@@ -71,13 +83,17 @@ def global_prefix_sum(
     offsets = []
     for r in sorted(rows, key=lambda r: r["_pid"]):
         key = tuple(r[c] for c in group_cols)
-        offsets.append((r["_pid"], *key, acc.get(key, 0)))
-        acc[key] = acc.get(key, 0) + int(r["_s"] or 0)
+        prev = acc.get(key, [0] * len(value_cols))
+        offsets.append((r["_pid"], *key, *prev))
+        acc[key] = [
+            p + int(r[f"_s{i}"] or 0) for i, p in enumerate(prev)
+        ]
     schema_groups = "".join(
         f", _og_{i} {dtypes[c]}" for i, c in enumerate(group_cols)
     )
+    schema_offsets = "".join(f", _offset_{i} long" for i in range(len(value_cols)))
     off = df.sparkSession.createDataFrame(
-        offsets, f"_opid int{schema_groups}, _offset long"
+        offsets, f"_opid int{schema_groups}{schema_offsets}"
     )
     # null-safe join on the group columns: a NULL group value is a real
     # group (an equi-join would silently drop every such row)
@@ -85,10 +101,14 @@ def global_prefix_sum(
     for i, c in enumerate(group_cols):
         cond = cond & F.col(c).eqNullSafe(F.col(f"_og_{i}"))
     w = Window.partitionBy("_pid", *group_cols).orderBy(*[F.col(c) for c in order_cols])
-    return (
-        part.join(F.broadcast(off), cond)
-        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_offset"))
-        .drop("_pid", "_opid", "_offset", *[f"_og_{i}" for i in range(len(group_cols))])
+    out = part.join(F.broadcast(off), cond)
+    for i, (vc, oc) in enumerate(zip(value_cols, out_cols)):
+        out = out.withColumn(oc, F.sum(vc).over(w) + F.col(f"_offset_{i}"))
+    return out.drop(
+        "_pid",
+        "_opid",
+        *[f"_offset_{i}" for i in range(len(value_cols))],
+        *[f"_og_{i}" for i in range(len(group_cols))],
     )
 
 

@@ -32,6 +32,32 @@ def test_global_prefix_sum_matches_single_partition_window(spark):
     assert got == want
 
 
+def test_multi_value_prefix_sum_streams_are_independent(spark):
+    """Two value streams through ONE call must each equal their own
+    single-stream run — regression for the census bug where every offset
+    stream summed the LAST value column (a stale comprehension variable),
+    which left stream 0 carrying stream 1's offsets."""
+    df = spark.createDataFrame(
+        [(i, 1, i % 2) for i in range(100)], "id long, one long, hit long"
+    )
+    both = {
+        r["id"]: (r["n"], r["ch"])
+        for r in global_prefix_sum(
+            df, ["id"], ["one", "hit"], out_col=["n", "ch"], num_partitions=9
+        ).collect()
+    }
+    n_only = {
+        r["id"]: r["n"]
+        for r in global_prefix_sum(df, ["id"], "one", out_col="n", num_partitions=9).collect()
+    }
+    ch_only = {
+        r["id"]: r["ch"]
+        for r in global_prefix_sum(df, ["id"], "hit", out_col="ch", num_partitions=9).collect()
+    }
+    assert both == {k: (n_only[k], ch_only[k]) for k in n_only}
+    assert both[99] == (100, 50)  # global totals, not per-partition restarts
+
+
 def test_global_prefix_sum_stable_across_partition_counts(spark):
     vals = list(range(50))
     df = _tokens_df(spark, vals)
