@@ -729,6 +729,127 @@ def q_blocking_recall_by_family(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PPRL_WORD = 63  # usable bits per signed 64-bit word; the top bit stays
+#                  clear so every shift is overflow-free and sign-identical
+#                  across engines
+_PPRL_WORDS = 2  # filter length = 126 bits (63 bits saturates on the shared
+#                  'Customer#' prefix: measured dice ≥ 0.7 for EVERY blocked
+#                  candidate; real CLKs are 100–1000 bits for this reason)
+_PPRL_K = 2  # hash functions per bigram (classic CLK uses k~2 per field)
+_PPRL_DICE = 0.88
+
+
+def q_pprl_bloom_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy-preserving record linkage (Schnell/Bachteler/Reiher 2009):
+    each name is encoded as a 126-bit Bloom filter — ``_PPRL_K``
+    md5-derived bit positions per character bigram OR-folded into
+    ``_PPRL_WORDS`` 63-bit words — and candidate pairs are scored with the
+    Dice coefficient ``2·|A∧B| / (|A|+|B|)`` over the encodings alone.
+    This is the standard scheme when two parties must link records WITHOUT
+    exchanging identifiers: only the bit vectors cross the trust boundary
+    (here both halves run in one job; the encode stage is the part each
+    party runs privately). Dice is a similarity ESTIMATE — hash collisions
+    make it fuzzier than the plaintext comparators, which is the accepted
+    privacy/accuracy trade of the scheme.
+
+    Scale shape: encoding is one explode + codegen md5 scan folded by a
+    map-side-combining ``bit_or`` groupBy; scoring rides the same salted
+    slim-pair universe as the linkage track, with two 8-byte words per side
+    as the ONLY pair payload (the narrowest payload any comparator here
+    ships). All-integer bit arithmetic plus one correctly-rounded divide,
+    so the DuckDB twin hash-checks raw doubles.
+    """
+    c = tbl(spark, sf, "customer")
+    enc = pprl_encode(c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name")))
+    blocks = _customer_blocks(spark, sf)
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    fat = attach_pair_payload(pairs, enc, [f"bloom{j}" for j in range(_PPRL_WORDS)])
+    inter = _fold_add(
+        [
+            F.bit_count(F.col(f"bloom{j}_a").bitwiseAND(F.col(f"bloom{j}_b")))
+            for j in range(_PPRL_WORDS)
+        ]
+    )
+    ca = _fold_add([F.bit_count(f"bloom{j}_a") for j in range(_PPRL_WORDS)])
+    cb = _fold_add([F.bit_count(f"bloom{j}_b") for j in range(_PPRL_WORDS)])
+    scored = fat.select(
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("n_common_bits"),
+        ca.cast("long").alias("bits_a"),
+        cb.cast("long").alias("bits_b"),
+    )
+    dice = (F.lit(2) * F.col("n_common_bits")) / (F.col("bits_a") + F.col("bits_b"))
+    return scored.where(dice >= _PPRL_DICE).select(
+        "id_a", "id_b", "n_common_bits", "bits_a", "bits_b",
+        F.round(dice, 6).alias("dice"),
+    )
+
+
+def pprl_encode(df: DataFrame) -> DataFrame:
+    """(id, bloom0..bloom{W-1}) CLK encodings of a (id, name) DataFrame:
+    ``_PPRL_K`` md5-derived bit positions per character bigram, folded into
+    ``_PPRL_WORDS`` 63-bit words by a map-side-combining ``bit_or``."""
+    # NB: Spark's sequence(1, len-1) DESCENDS for len < 2 (sequence(1, 0) =
+    # [1, 0]), emitting junk grams for 1-char names — the length filter
+    # removes them and aligns with DuckDB's empty range(1, 1)
+    bg = df.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("name") - 1, F.lit(1))),
+                lambda i: F.col("name").substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    ).where(F.length("bg") == 2)
+    m = _PPRL_WORD * _PPRL_WORDS
+    bit = lambda h: (  # noqa: E731
+        f"CAST(CAST(conv(substring(md5(concat('{h}|', bg)), 1, 15), 16, 10)"
+        f" AS BIGINT) % {m} AS INT)"
+    )
+    words = bg.select(
+        "id",
+        *[
+            F.expr(
+                f"CASE WHEN {bit(h)} DIV {_PPRL_WORD} = {j} THEN "
+                f"shiftleft(CAST(1 AS BIGINT), {bit(h)} % {_PPRL_WORD}) "
+                f"ELSE CAST(0 AS BIGINT) END"
+            ).alias(f"w{h}_{j}")
+            for h in range(_PPRL_K)
+            for j in range(_PPRL_WORDS)
+        ],
+    )
+    enc = words.groupBy("id").agg(
+        *[
+            F.bit_or(f"w{h}_{j}").alias(f"b{h}_{j}")
+            for h in range(_PPRL_K)
+            for j in range(_PPRL_WORDS)
+        ]
+    )
+    return enc.select(
+        "id",
+        *[
+            _fold_or([F.col(f"b{h}_{j}") for h in range(_PPRL_K)]).alias(f"bloom{j}")
+            for j in range(_PPRL_WORDS)
+        ],
+    )
+
+
+def _fold_or(cols):
+    """Bitwise-OR fold over long columns (Column.__or__ is boolean OR)."""
+    out = cols[0]
+    for c in cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def _fold_add(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
 _PROG_BUDGET = 2000
 
 
@@ -805,6 +926,7 @@ QUERIES = {
     "phonetic_blocks": q_phonetic_blocks,
     "blocking_recall_by_family": q_blocking_recall_by_family,
     "progressive_pairs": q_progressive_pairs,
+    "pprl_bloom_match": q_pprl_bloom_match,
 }
 
 
@@ -1236,6 +1358,61 @@ SELECT pos, id_a, id_b, w, hit, cum_hits,
        round(CAST(cum_hits AS DOUBLE) / gold_total, 6) AS recall
 FROM r, t WHERE pos < {_PROG_BUDGET}
 """
+
+# PPRL: same bigram → md5 → bit-position math (63-bit words keep every
+# shift overflow-free and sign-identical), Dice as exact int bit counts
+# plus one correctly-rounded divide
+def _pprl_sql() -> str:
+    m = _PPRL_WORD * _PPRL_WORDS
+
+    def bit(h: int) -> str:
+        return (
+            f"CAST((('0x' || substr(md5('{h}|' || bg), 1, 15))::BIGINT % {m}) AS INT)"
+        )
+
+    blooms = ",\n         ".join(
+        " | ".join(
+            f"bit_or(CASE WHEN {bit(h)} // {_PPRL_WORD} = {j} THEN "
+            f"CAST(1 AS BIGINT) << ({bit(h)} % {_PPRL_WORD}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for h in range(_PPRL_K)
+        )
+        + f" AS bloom{j}"
+        for j in range(_PPRL_WORDS)
+    )
+    inter = " + ".join(
+        f"bit_count(a.bloom{j} & b.bloom{j})" for j in range(_PPRL_WORDS)
+    )
+    ca = " + ".join(f"bit_count(a.bloom{j})" for j in range(_PPRL_WORDS))
+    cb = " + ".join(f"bit_count(b.bloom{j})" for j in range(_PPRL_WORDS))
+    return f"""
+WITH bg AS (
+  SELECT c_custkey AS id,
+         unnest(list_transform(range(1, length(c_name)),
+                               i -> substr(c_name, i, 2))) AS bg
+  FROM customer
+),
+enc AS (
+  SELECT id,
+         {blooms}
+  FROM bg GROUP BY id
+),
+pairs AS (SELECT id_a, id_b FROM ({_CUST_PAIRS}) p),
+sc AS (
+  SELECT p.id_a, p.id_b,
+         CAST({inter} AS BIGINT) AS n_common_bits,
+         CAST({ca} AS BIGINT) AS bits_a,
+         CAST({cb} AS BIGINT) AS bits_b
+  FROM pairs p JOIN enc a ON p.id_a = a.id JOIN enc b ON p.id_b = b.id
+)
+SELECT id_a, id_b, n_common_bits, bits_a, bits_b,
+       round(CAST(2 * n_common_bits AS DOUBLE) / (bits_a + bits_b), 6) AS dice
+FROM sc
+WHERE CAST(2 * n_common_bits AS DOUBLE) / (bits_a + bits_b) >= {_PPRL_DICE}
+"""
+
+
+ORACLES["pprl_bloom_match"] = _pprl_sql()
 
 from levenshtein_spark.functions.phonetic import dd_soundex
 
