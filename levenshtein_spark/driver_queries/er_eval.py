@@ -850,6 +850,26 @@ def _fold_add(cols):
     return out
 
 
+def q_linkage_cluster_repair(spark: SparkSession, sf: str) -> DataFrame:
+    """Repaired entity labels: transitive closure AFTER bridge pruning
+    (``operators/repair.py``) — edges that close no triangle while both
+    endpoints are independently matched elsewhere are the single-edge
+    merges closure cannot be trusted on, so they are dropped before the
+    components run. Complements ``linkage_cluster_density`` (which finds
+    the low-density clusters worth repairing) and ``linkage_clusters``
+    (the recall-maximal unrepaired labels).
+    """
+    from levenshtein_spark.operators.repair import prune_bridges
+
+    e = edges_of(_customer_scored(spark, sf))
+    kept = prune_bridges(e)
+    ids = tbl(spark, sf, "customer").select(F.col("c_custkey").alias("id"))
+    return cluster_labels(ids, kept).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 _PROG_BUDGET = 2000
 
 
@@ -927,6 +947,7 @@ QUERIES = {
     "blocking_recall_by_family": q_blocking_recall_by_family,
     "progressive_pairs": q_progressive_pairs,
     "pprl_bloom_match": q_pprl_bloom_match,
+    "linkage_cluster_repair": q_linkage_cluster_repair,
 }
 
 
@@ -1413,6 +1434,35 @@ WHERE CAST(2 * n_common_bits AS DOUBLE) / (bits_a + bits_b) >= {_PPRL_DICE}
 
 
 ORACLES["pprl_bloom_match"] = _pprl_sql()
+
+# bridge pruning as exact integer graph arithmetic, then the same
+# recursive-closure template as linkage_clusters over the kept edges
+ORACLES["linkage_cluster_repair"] = f"""
+WITH RECURSIVE edges AS ({_CUST_EDGES}),
+sym AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a),
+supp AS (
+  SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS s
+  FROM edges e JOIN sym x ON x.a = e.src JOIN sym y ON y.a = e.dst AND y.b = x.b
+  GROUP BY e.src, e.dst
+),
+kept AS (
+  SELECT e.src, e.dst
+  FROM edges e
+  JOIN deg da ON da.id = e.src
+  JOIN deg db ON db.id = e.dst
+  LEFT JOIN supp s ON s.src = e.src AND s.dst = e.dst
+  WHERE coalesce(s.s, 0) >= 1 OR da.deg = 1 OR db.deg = 1
+),
+und AS (SELECT src AS a, dst AS b FROM kept UNION SELECT dst, src FROM kept),
+reach(root, node) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT CAST(root AS BIGINT) AS id, CAST(min(node) AS BIGINT) AS cluster_id
+FROM reach GROUP BY root
+"""
 
 from levenshtein_spark.functions.phonetic import dd_soundex
 
