@@ -307,12 +307,36 @@ def q_fuzzy_join_customers(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_l", "id_r", F.col("dist").cast("long").alias("dist"))
 
 
+def q_fuzzy_join_one_to_one(spark: SparkSession, sf: str) -> DataFrame:
+    """Clean-clean 1:1 linkage: the ``fuzzy_join_customers`` candidate set
+    reduced to a one-to-one assignment by the MUTUAL-BEST rule — a pair
+    survives iff it is the left record's best match AND the right record's
+    best match, best = min (dist, other id) so ties are deterministic.
+    This is the standard production 1:1 rule for linking two deduplicated
+    registries (each real-world entity appears once per side, so a record
+    must not link twice; a full Hungarian assignment is overkill and not
+    distributable — mutual-best is greedy-free and embarrassingly
+    parallel).
+
+    Scale shape: two map-side-combining ``min(struct)`` aggregations (the
+    ``closest.py`` arg-min idiom — never a per-key window sort) and one
+    slim equi-join; no stage wider than the candidate stream itself.
+    """
+    from levenshtein_spark.operators.pairs import one_to_one
+
+    cand = q_fuzzy_join_customers(spark, sf)
+    return one_to_one(cand).select(
+        "id_l", "id_r", F.col("dist").cast("long").alias("dist")
+    )
+
+
 QUERIES = {
     "similar_names_by_nation": q_similar_names_by_nation,
     "similarity_join_docs": q_similarity_join_docs,
     "edjoin_docs": q_edjoin_docs,
     "edjoin_docs_osa": q_edjoin_docs_osa,
     "fuzzy_join_customers": q_fuzzy_join_customers,
+    "fuzzy_join_one_to_one": q_fuzzy_join_one_to_one,
     "events_sessionize": q_events_sessionize,
     "pricing_rollup": q_pricing_rollup,
     "pricing_rollup_subtotals": q_pricing_rollup_subtotals,
@@ -408,6 +432,35 @@ scored AS (
   FROM l JOIN r ON l.c_nationkey = r.c_nationkey AND l.s1 = r.s1 AND l.s2 = r.s2
 )
 SELECT id_l, id_r, dist FROM scored WHERE dist <= 2
+""",
+    # same candidate CTE; mutual-best via two deterministic windows —
+    # row_number ordered by (dist, other id) is exactly min(struct(dist, id))
+    "fuzzy_join_one_to_one": """
+WITH l AS (
+  SELECT c_custkey AS id_l, c_nationkey, substr(c_name, 10, 3) AS s1,
+         substr(c_name, 13, 3) AS s2, c_name AS name_l
+  FROM customer
+),
+r AS (
+  SELECT c_custkey + 1000000 AS id_r, c_nationkey, substr(c_name, 10, 3) AS s1,
+         substr(c_name, 13, 3) AS s2,
+         substr(c_name, 1, 16) || substr(c_name, 18, 1) || substr(c_name, 17, 1) AS name_r
+  FROM customer
+),
+scored AS (
+  SELECT l.id_l, r.id_r,
+         CAST(least(levenshtein(l.name_l, r.name_r),
+                    least(2, greatest(length(l.name_l), length(r.name_r))) + 1) AS BIGINT) AS dist
+  FROM l JOIN r ON l.c_nationkey = r.c_nationkey AND l.s1 = r.s1 AND l.s2 = r.s2
+),
+cand AS (SELECT id_l, id_r, dist FROM scored WHERE dist <= 2),
+rk AS (
+  SELECT id_l, id_r, dist,
+         row_number() OVER (PARTITION BY id_l ORDER BY dist, id_r) AS rl,
+         row_number() OVER (PARTITION BY id_r ORDER BY dist, id_l) AS rr
+  FROM cand
+)
+SELECT id_l, id_r, dist FROM rk WHERE rl = 1 AND rr = 1
 """,
     "events_sessionize": """
 WITH g AS (

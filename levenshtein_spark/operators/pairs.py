@@ -203,3 +203,34 @@ def attach_pair_payload(pairs: DataFrame, records: DataFrame, cols: list[str]) -
     a = records.select(F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in cols])
     b = records.select(F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in cols])
     return pairs.join(a, "id_a").join(b, "id_b")
+
+
+def one_to_one(
+    cand: DataFrame,
+    left_col: str = "id_l",
+    right_col: str = "id_r",
+    score_col: str = "dist",
+) -> DataFrame:
+    """Mutual-best 1:1 assignment over a scored candidate stream: a pair
+    survives iff it is BOTH its left record's best match and its right
+    record's best match, best = min (score, other id) so ties resolve
+    deterministically. The standard clean-clean linkage rule when each side
+    is already deduplicated (one row per entity, so no record may link
+    twice); greedy-free and embarrassingly parallel, unlike a global
+    assignment solve.
+
+    Scale shape: two map-side-combining ``min(struct)`` aggregations (the
+    ``closest.py`` arg-min idiom — no per-key window sort) plus one slim
+    equi-join; nothing wider than the candidate stream.
+    """
+    best_r = cand.groupBy(left_col).agg(
+        F.min(F.struct(score_col, right_col)).alias("_b")
+    ).select(
+        left_col,
+        F.col(f"_b.{right_col}").alias(right_col),
+        F.col(f"_b.{score_col}").alias(score_col),
+    )
+    best_l = cand.groupBy(right_col).agg(
+        F.min(F.struct(score_col, left_col)).alias("_b")
+    ).select(F.col(f"_b.{left_col}").alias(left_col), right_col)
+    return best_r.join(best_l, [left_col, right_col])

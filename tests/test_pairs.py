@@ -123,3 +123,25 @@ def test_adaptive_salting_is_lossless_and_sizes_per_block(spark):
     # block, same as unsalted) and still produces the identical set
     degenerate = candidate_pairs(blocks, hot_threshold=0, adaptive_target_rows=10**6)
     assert keyed(degenerate) == kp
+
+
+def test_one_to_one_mutual_best(spark):
+    """Mutual-best keeps exactly the pairs that are argmin on BOTH sides,
+    ties broken by the other record's id."""
+    from levenshtein_spark.operators.pairs import one_to_one
+
+    cand = spark.createDataFrame(
+        [
+            (1, 10, 0),  # 1's best and 10's best -> kept
+            (1, 11, 1),
+            (2, 11, 0),  # kept
+            (3, 12, 1),  # tie with (4,12,1): 12's best is 3 (lower id)
+            (4, 12, 1),  # 4's best, but 12 prefers 3 -> dropped; 4 unmatched
+            (3, 13, 1),  # 3's best is 12 (tie on dist, lower id) -> dropped
+        ],
+        "id_l long, id_r long, dist long",
+    )
+    got = {(r.id_l, r.id_r, r.dist) for r in one_to_one(cand).collect()}
+    assert got == {(1, 10, 0), (2, 11, 0), (3, 12, 1)}
+    # no id appears twice on either side
+    assert len({a for a, _, _ in got}) == len(got) == len({b for _, b, _ in got})
