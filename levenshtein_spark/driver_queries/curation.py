@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from levenshtein_spark.driver_queries import tbl
-from levenshtein_spark.functions.hashing import hash_bucket
+from levenshtein_spark.functions.hashing import hash64, hash_bucket
 from levenshtein_spark.functions.text import token_count, word_tokens
 from levenshtein_spark.operators.packing import pack_by_budget
 
@@ -416,8 +416,50 @@ def type3_clone_pairs(d: DataFrame) -> DataFrame:
     )
 
 
+_TEMP_SCALE = 2_147_483_648  # 2^31: threshold granularity for the keep rule
+
+
+def q_sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-flattened domain sampling (the multilingual / multi-domain
+    mixing rule of LLM data pipelines, e.g. mC4/XLM-R's p ∝ n^α): documents
+    are kept with per-domain probability ``p_d = (n_min / n_d) ** 0.5``
+    (α = 0.5), so the smallest domain keeps everything and head domains are
+    downsampled toward a flat mix. The keep decision is a pure function of
+    doc_id — ``hash64(doc_id) mod 2^31 < floor(p_d * 2^31)`` — never
+    ``rand()``, so the sample is stable across re-runs, engines, and
+    cluster sizes, and the DuckDB twin reproduces it bit-for-bit
+    (``p_d`` is one correctly-rounded IEEE divide + one sqrt; the md5
+    family is the portable one).
+
+    Scale shape: one map-side-combining count per domain (rows = domains),
+    a scalar min, and one broadcast join of the ≤|domains| rate table back
+    onto the corpus — the corpus itself never shuffles.
+    """
+    d = tbl(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_d"))
+    n_min = counts.agg(F.min("n_d").alias("n_min"))
+    rates = counts.join(F.broadcast(n_min)).select(
+        "lang",
+        "n_d",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_d").cast("double")).alias("p_keep"),
+    )
+    draw = F.pmod(
+        hash64(F.concat(F.lit("temp\x1f"), F.col("doc_id").cast("string"))),
+        F.lit(_TEMP_SCALE),
+    )
+    thresh = F.floor(F.col("p_keep") * F.lit(float(_TEMP_SCALE))).cast("long")
+    return d.join(F.broadcast(rates), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("n_d").cast("long").alias("n_d"),
+        F.col("p_keep"),
+        (draw < thresh).alias("kept"),
+    )
+
+
 QUERIES = {
     "sample_split": q_sample_split,
+    "sample_temperature": q_sample_temperature,
     "sample_stratified": q_sample_stratified,
     "chunk_documents": q_chunk_documents,
     "pack_shards": q_pack_shards,
@@ -631,5 +673,18 @@ FROM pr
 JOIN sz sa ON pr.doc_id_a = sa.doc_id
 JOIN sz sb ON pr.doc_id_b = sb.doc_id
 WHERE CAST(n_inter AS DOUBLE) / least(sa.n, sb.n) >= {_T3_MIN_OVERLAP}
+""",
+    "sample_temperature": f"""
+WITH counts AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
+m AS (SELECT min(n_d) AS n_min FROM counts),
+rates AS (
+  SELECT lang, CAST(n_d AS BIGINT) AS n_d,
+         sqrt(CAST(n_min AS DOUBLE) / CAST(n_d AS DOUBLE)) AS p_keep
+  FROM counts, m
+)
+SELECT d.doc_id, d.lang, r.n_d, r.p_keep,
+       (('0x' || substr(md5('temp' || chr(31) || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % {_TEMP_SCALE}) < CAST(floor(r.p_keep * {_TEMP_SCALE}.0) AS BIGINT) AS kept
+FROM documents d JOIN rates r USING (lang)
 """,
 }

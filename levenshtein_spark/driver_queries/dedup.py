@@ -299,6 +299,63 @@ def q_dedup_prefix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SUB_W = 8  # duplicated-window width (word tokens)
+
+
+def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated-substring spans (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" family, windowed form):
+    every width-{_SUB_W} word-token window that occurs verbatim in ≥ 2
+    distinct documents, reported at each position it occupies — the
+    span-level complement to document-level dedup (boilerplate headers,
+    license blocks, quoted passages survive doc-level MinHash because the
+    *documents* differ; this finds the repeated *regions*).
+
+    The reference corpus-scale method is a suffix array; at Spark scale the
+    equivalent-fidelity windowed formulation is a linear scan: tokens →
+    sliding windows (explode + slice, pure codegen) → md5 per window.
+    Cross-doc support is computed on the DISTINCT (gram, doc) projection —
+    two stacked map-side-combining aggregations, so a window repeated
+    10^6 times inside one spam page contributes ONE row of count state,
+    and the wide window rows themselves never shuffle: only the md5 keys
+    do, then dup keys semi-join back. O(total_tokens) rows end-to-end,
+    no quadratic step anywhere.
+    """
+    return substring_spans(tbl(spark, sf, "documents"))
+
+
+def substring_spans(d: DataFrame, width: int = _SUB_W) -> DataFrame:
+    """``(doc_id, text, ...)`` → ``(doc_id, pos, gram_md5, n_docs)`` rows for
+    every width-``width`` token window shared by ≥ 2 distinct documents
+    (semantics in :func:`q_dedup_substring`; factored out so tests can
+    drive planted corpora through it)."""
+    toks = F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda x: x != "")
+    wins = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= width)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (width - 1))).alias("pos"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), width))).alias("gram_md5"),
+        )
+    )
+    support = (
+        wins.select("gram_md5", "doc_id")
+        .distinct()
+        .groupBy("gram_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    return wins.join(support, "gram_md5").select(
+        "doc_id", "pos", "gram_md5", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -307,6 +364,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_tfidf": q_dedup_tfidf,
     "dedup_prefix": q_dedup_prefix,
+    "dedup_substring": q_dedup_substring,
 }
 
 
@@ -456,5 +514,20 @@ SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
 FROM g l JOIN g r ON l.lang = r.lang AND l.band = r.band AND l.doc_id < r.doc_id
 WHERE round(len(list_intersect(l.g, r.g)) * 1.0 /
             (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))), 6) >= 0.5
+""",
+    "dedup_substring": f"""
+WITH t AS (SELECT doc_id, {_DD_TOKENS} AS toks FROM documents),
+w AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(toks[pos:pos + {_SUB_W - 1}], ' ')) AS gram_md5
+  FROM t, UNNEST(generate_series(1, len(toks) - {_SUB_W - 1})) AS s(pos)
+  WHERE len(toks) >= {_SUB_W}
+),
+support AS (
+  SELECT gram_md5, count(DISTINCT doc_id) AS n_docs
+  FROM w GROUP BY gram_md5 HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id, w.pos, w.gram_md5, CAST(support.n_docs AS BIGINT) AS n_docs
+FROM w JOIN support USING (gram_md5)
 """,
 }

@@ -193,10 +193,80 @@ def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(_WIN_SINK)
 
 
+_SSJ_SINK = "streaming_stream_join_mem"
+_SSJ_RANGE_MIN = 60  # purchase within [click, click + 60 min]
+
+
+def q_streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream interval join — the conversion-funnel
+    staple (click joined to the same user's purchase within the next
+    {_SSJ_RANGE_MIN} minutes), and the one streaming join shape whose state
+    is provably bounded: both sides carry a watermark and the join
+    condition carries a time-range, so each side's state is evicted once
+    the other side's watermark passes the range (Spark's stream-stream
+    inner-join requirement).
+
+    With ``availableNow`` over a static file the whole input is one
+    micro-batch, and an INNER join emits every qualifying pair before any
+    eviction can bite — so the emission set is closed-form and the DuckDB
+    twin is the plain interval self-join. The watermark/range machinery
+    still executes (state store writes, eviction planning); what the twin
+    checks is the join semantics.
+
+    ts is TIMESTAMP_NTZ in the lake; watermarks need TIMESTAMP and the
+    session TZ is pinned UTC so the hop preserves wall-clock times.
+    """
+    batch = tbl(spark, sf, "events")
+
+    def _side(name: str, etype: str):
+        s = (
+            spark.readStream.schema(batch.schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf)
+        )
+        return (
+            s.where(F.col("event_type") == etype)
+            .select(
+                F.col("user_id").alias(f"{name}_user"),
+                F.col("event_id").alias(f"{name}_id"),
+                F.col("ts").cast("timestamp").alias(f"{name}_ts"),
+            )
+            .withWatermark(f"{name}_ts", "2 hours")
+        )
+
+    clicks, buys = _side("click", "click"), _side("buy", "purchase")
+    joined = clicks.join(
+        buys,
+        (F.col("click_user") == F.col("buy_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {_SSJ_RANGE_MIN} MINUTES")),
+        "inner",
+    )
+    out = joined.select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        F.col("buy_id").alias("purchase_id"),
+        (F.unix_timestamp("buy_ts") - F.unix_timestamp("click_ts")).alias("lag_s"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_SSJ_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_stream_join did not drain within 300s")
+    return spark.table(_SSJ_SINK)
+
+
 QUERIES = {
     "streaming_fuzzy_link": q_streaming_fuzzy_link,
     "streaming_incremental_link": q_streaming_incremental_link,
     "streaming_windowed_counts": q_streaming_windowed_counts,
+    "streaming_stream_join": q_streaming_stream_join,
 }
 
 def _incremental_oracle() -> str:
@@ -261,5 +331,15 @@ FROM s JOIN ref r ON s.lang = r.lang
 WHERE least(levenshtein(s.ptext, r.ref_ptext),
             least({_K}, greatest(length(s.ptext), length(r.ref_ptext))) + 1) <= {_K}
   AND s.ptext <> r.ref_ptext
+""",
+    "streaming_stream_join": f"""
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+       -- floor each side to whole seconds first: Spark's unix_timestamp()
+       -- truncates per-timestamp, not per-difference
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS lag_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {_SSJ_RANGE_MIN} MINUTES
 """,
 }
