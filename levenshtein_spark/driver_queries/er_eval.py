@@ -1596,3 +1596,147 @@ GROUP BY 1
 
 ORACLES["fs_em_weights"] = _fs_em_sql()
 QUERIES["fs_em_weights"] = q_fs_em_weights
+
+
+# ---------------------------------------------------------------------------
+# Deterministic match-rule cascade (waterfall linkage)
+# ---------------------------------------------------------------------------
+def q_linkage_rule_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """Matchkey waterfall (the ONS/Census deterministic-linkage pattern):
+    an ordered cascade of match rules, each pair attributed to the
+    STRONGEST rule that fires (min rank — first-match-wins provenance, the
+    audit trail a production linkage run must keep).
+
+      1. identity key: identical account balance to the cent (a stand-in
+         for an exact SSN/email key — near-unique, rare collisions);
+      2. fuzzy rule: same nation + name edit distance <= 1 (the pipeline's
+         gold rule, via the lossless pigeonhole universe + Arrow kernel);
+      3. demographic key: same (mktsegment, nation, 1000-band of balance) —
+         the deliberately coarse last-resort key.
+
+    Every rule is an equi-join on an explicit block key routed through the
+    same salted slim-pair operator as the pipeline (rule 2 reuses the
+    scored edge stage wholesale); provenance is one map-side-combining
+    min aggregation over the union. Nothing is quadratic beyond what each
+    rule's key cardinality itself implies — which is the point of the
+    cascade: the weak rule exists to be MEASURED (its fan-out shows up in
+    the rank-3 row count), not trusted.
+    """
+    c = tbl(spark, sf, "customer")
+
+    def rule_pairs(block_key, rank: int) -> DataFrame:
+        blocks = c.select(block_key.alias("block_key"), F.col("c_custkey").alias("id"))
+        return (
+            candidate_pairs(blocks, hot_threshold=500, num_salts=8)
+            .select("id_a", "id_b", F.lit(rank).alias("rnk"))
+        )
+
+    cents = F.round(F.col("c_acctbal") * 100).cast("long").cast("string")
+    r1 = rule_pairs(F.concat(F.lit("c|"), cents), 1)
+    r2 = edges_of(_customer_scored(spark, sf)).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b"), F.lit(2).alias("rnk")
+    )
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long").cast("string")
+    r3 = rule_pairs(
+        F.concat_ws("|", F.lit("d"), "c_mktsegment", F.col("c_nationkey").cast("string"), band),
+        3,
+    )
+    return (
+        r1.unionByName(r2)
+        .unionByName(r3)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("rnk").cast("long").alias("rule"))
+    )
+
+
+ORACLES["linkage_rule_cascade"] = f"""
+WITH r1 AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, 1 AS rnk
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND CAST(round(a.c_acctbal * 100) AS BIGINT) = CAST(round(b.c_acctbal * 100) AS BIGINT)
+),
+r2 AS (SELECT src AS id_a, dst AS id_b, 2 AS rnk FROM ({_CUST_EDGES}) e),
+r3 AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, 3 AS rnk
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_nationkey = b.c_nationkey
+   AND CAST(floor(a.c_acctbal / 1000) AS BIGINT) = CAST(floor(b.c_acctbal / 1000) AS BIGINT)
+)
+SELECT id_a, id_b, CAST(min(rnk) AS BIGINT) AS rule
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3) u
+GROUP BY id_a, id_b
+"""
+QUERIES["linkage_rule_cascade"] = q_linkage_rule_cascade
+
+
+# ---------------------------------------------------------------------------
+# Term-frequency-adjusted u probabilities (Splink's tf_adjustment)
+# ---------------------------------------------------------------------------
+def q_fs_tf_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Term-frequency adjustment table for the segment field — the Splink
+    ``tf_adjustment`` mechanic: agreement on a COMMON value is weak evidence,
+    on a RARE value strong, so the global u = P(agree | unmatch) is replaced
+    per value v by u_tf(v) = freq(v)/N. One row per field value with its
+    frequency, the blocked candidate pairs agreeing on it, u_tf, the
+    adjusted agreement odds m/u_tf, and the unadjusted m/u baseline.
+
+    Floats are two correctly-rounded ops in fixed order (freq/N, then
+    m / u_tf), so the twin hash-checks raw doubles. Scale shape: value
+    frequencies and pair-agreement counts are map-side-combining groupBys
+    (state = field cardinality); the candidate universe is the same salted
+    slim-pair stage every scorer here shares.
+    """
+    c = tbl(spark, sf, "customer")
+    from levenshtein_spark.driver_queries.linkage import _customer_blocks
+
+    n_tot = c.agg(F.count(F.lit(1)).alias("n_tot"))
+    freq = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    blocks = _customer_blocks(spark, sf)
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    seg_rec = c.select(F.col("c_custkey").alias("id"), F.col("c_mktsegment").alias("seg"))
+    fat = attach_pair_payload(pairs, seg_rec, ["seg"])
+    agree = (
+        fat.where(F.col("seg_a") == F.col("seg_b"))
+        .groupBy(F.col("seg_a").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_agree_pairs"))
+    )
+    m, u = _FS_SEGMENT
+    u_tf = F.col("freq").cast("double") / F.col("n_tot").cast("double")
+    return (
+        freq.join(agree, "segment", "left")
+        .join(F.broadcast(n_tot))
+        .select(
+            "segment",
+            F.col("freq").cast("long").alias("freq"),
+            F.coalesce(F.col("n_agree_pairs"), F.lit(0)).cast("long").alias("n_agree_pairs"),
+            u_tf.alias("u_tf"),
+            (F.lit(m) / u_tf).alias("tf_odds"),
+            F.lit(m / u).alias("base_odds"),
+        )
+    )
+
+
+ORACLES["fs_tf_weights"] = f"""
+WITH freq AS (SELECT c_mktsegment AS segment, count(*) AS freq FROM customer GROUP BY 1),
+tot AS (SELECT count(*) AS n_tot FROM customer),
+agree AS (
+  SELECT a.c_mktsegment AS segment, count(*) AS n_agree_pairs
+  FROM ({_CUST_PAIRS}) p
+  JOIN customer a ON a.c_custkey = p.id_a
+  JOIN customer b ON b.c_custkey = p.id_b
+  WHERE a.c_mktsegment = b.c_mktsegment
+  GROUP BY 1
+)
+SELECT f.segment, CAST(f.freq AS BIGINT) AS freq,
+       CAST(coalesce(ag.n_agree_pairs, 0) AS BIGINT) AS n_agree_pairs,
+       (CAST(f.freq AS DOUBLE) / CAST(t.n_tot AS DOUBLE)) AS u_tf,
+       ({_FS_SEGMENT[0]!r} / (CAST(f.freq AS DOUBLE) / CAST(t.n_tot AS DOUBLE))) AS tf_odds,
+       {_FS_SEGMENT[0] / _FS_SEGMENT[1]!r} AS base_odds
+FROM freq f LEFT JOIN agree ag USING (segment), tot t
+"""
+QUERIES["fs_tf_weights"] = q_fs_tf_weights

@@ -134,11 +134,78 @@ def q_multimodal_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
     return extract_audio_features(_wav_payloads(d))
 
 
+# Image near-dup: average hash (aHash) over the REAL decode path. Grid is
+# 8×7 = 56 bits so the fingerprint stays a non-negative int64 (same framing
+# as the 60-bit SimHash); the standard 8×8 variant would need bit 63.
+_AH_W, _AH_H = 8, 7
+_AH_HAM = 6  # pigeonhole: 7 segments of 8 bits → lossless for hamming ≤ 6
+
+
+def _ahash_table(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (id, ahash): synthesize the P6 payload, then compute
+    the perceptual average hash from the ACTUAL image bytes — decode_ppm
+    parses the header grammar + raster, resize_nearest downsamples to the
+    8×7 grid, and the hash is pure integer arithmetic (gray = (r+g+b)//3,
+    bit_j = gray_j·56 ≥ Σgray — a cross-multiplication, no float mean), so
+    the SQL twin reproduces it exactly from the closed-form raster."""
+    import numpy as np
+    import pandas as pd
+
+    from levenshtein_spark.operators.ppm import decode_ppm, resize_nearest
+
+    payloads = _ppm_payloads(d)
+
+    def run(batches):
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                px = decode_ppm(bytes(payload))
+                small = resize_nearest(px, _AH_W, _AH_H)
+                gray = small.astype(np.int64).sum(axis=2) // 3  # (h, w)
+                flat = gray.reshape(-1)  # row-major: j = y*W + x
+                bits = flat * (_AH_W * _AH_H) >= flat.sum()
+                hashes.append(int((bits.astype(np.int64) << np.arange(56)).sum()))
+            yield pd.DataFrame(
+                {"id": pdf["doc_id"].astype("int64"), "ahash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return payloads.mapInPandas(run, "id long, ahash long")
+
+
+def q_dedup_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-duplicate pairs: aHash Hamming ≤ {_AH_HAM} over real
+    decoded rasters, found via the same lossless Hamming-segment pigeonhole
+    + salted slim-pair machinery as the text SimHash track (a pair within
+    Hamming 6 of a 7-segment split agrees exactly on ≥ 1 segment). The
+    oracle is BRUTE FORCE over the closed-form raster, so the hash match
+    simultaneously certifies the codec path, the hash arithmetic, and the
+    blocking's losslessness."""
+    from levenshtein_spark.functions.hashing import hamming64, simhash_segment_keys
+    from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
+
+    d = tbl(spark, sf, "documents").select("doc_id", "text")
+    ah = _ahash_table(d).persist()
+    blocks = ah.select(
+        F.explode(simhash_segment_keys("ahash", _AH_W * _AH_H, _AH_HAM + 1, 1)).alias(
+            "block_key"
+        ),
+        "id",
+    )
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    fat = attach_pair_payload(pairs, ah, ["ahash"])
+    return fat.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        hamming64(F.col("ahash_a"), F.col("ahash_b")).cast("long").alias("hamming"),
+    ).where(F.col("hamming") <= _AH_HAM)
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_decode_ppm": q_multimodal_decode_ppm,
     "multimodal_decode_wav": q_multimodal_decode_wav,
+    "dedup_image_ahash": q_dedup_image_ahash,
 }
 
 ORACLES = {
@@ -207,5 +274,42 @@ SELECT doc_id,
        CAST(sum(abs(v)) AS DOUBLE) / (n * ch) AS mean_abs
 FROM sv
 GROUP BY doc_id, n, ch, rate
+""",
+    # brute force over the closed-form raster: nearest-neighbor source cell
+    # for dst (x, y) is (⌊x·w/8⌋, ⌊y·h/7⌋); pixel byte at flat index i is
+    # (doc_id·31 + 7i) % 256; gray = (r+g+b)//3; bit rule is the integer
+    # cross-multiplication g·56 ≥ Σg. All-pairs join then re-proves the
+    # Spark side's pigeonhole blocking lossless for hamming ≤ 6.
+    "dedup_image_ahash": f"""
+WITH dims AS (
+  SELECT doc_id,
+         {_PPM_W[0]} + (strlen(text) % {_PPM_W[1]}) AS w,
+         {_PPM_H[0]} + ((strlen(text) * 5) % {_PPM_H[1]}) AS h
+  FROM documents
+),
+cells AS (
+  SELECT d.doc_id, t.j,
+         (((t.j // {_AH_W}) * d.h) // {_AH_H}) * d.w + (((t.j % {_AH_W}) * d.w) // {_AH_W}) AS p
+  FROM dims d, UNNEST(range(0, {_AH_W * _AH_H})) AS t(j)
+),
+gray AS (
+  SELECT doc_id, j,
+         ( ((doc_id * 31 + 7 * (p * 3    )) % 256)
+         + ((doc_id * 31 + 7 * (p * 3 + 1)) % 256)
+         + ((doc_id * 31 + 7 * (p * 3 + 2)) % 256) ) // 3 AS g
+  FROM cells
+),
+tot AS (SELECT doc_id, sum(g) AS sg FROM gray GROUP BY doc_id),
+hashes AS (
+  SELECT g.doc_id,
+         CAST(sum(CASE WHEN g.g * {_AH_W * _AH_H} >= t.sg
+                       THEN (CAST(1 AS BIGINT) << g.j) ELSE 0 END) AS BIGINT) AS ahash
+  FROM gray g JOIN tot t USING (doc_id)
+  GROUP BY g.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {_AH_HAM}
 """,
 }

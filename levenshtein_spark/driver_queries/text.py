@@ -114,6 +114,52 @@ def q_text_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_OOV_MIN_DF = 2  # a token is in-vocabulary once >= 2 distinct docs use it
+
+
+def q_text_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-vocabulary rate against the corpus' own vocabulary — the
+    C4-family gibberish/garble signal: the fraction of a document's token
+    OCCURRENCES whose token appears in fewer than {_OOV_MIN_DF} distinct
+    documents (hapax-in-corpus ⇒ likely noise, random ids, mangled
+    encodings). All arithmetic is exact integers + one correctly-rounded
+    divide per doc, so the twin hash-checks raw doubles.
+
+    Scale shape: per-doc (token, n_occ) counts via one map-side-combining
+    groupBy; the document-frequency table is a second groupBy over the
+    distinct (token, doc) projection; one slim equi-join on token re-keys
+    occurrences by rarity; a final groupBy restores per-doc grain. No
+    payload wider than (doc_id, token, count) ever shuffles.
+    """
+    from levenshtein_spark.functions.text import word_tokens
+
+    d = tbl(spark, sf, "documents")
+    occ = (
+        d.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    df_tbl = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    joined = occ.join(df_tbl, "tok")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.sum("n_occ").alias("n_tokens"),
+        F.sum(F.when(F.col("df") < _OOV_MIN_DF, F.col("n_occ")).otherwise(F.lit(0))).alias(
+            "n_oov"
+        ),
+    )
+    # docs with zero tokens never reach the explode; restore them with 0/0 -> NULL
+    all_docs = d.select("doc_id")
+    return all_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        ).alias("oov_rate"),
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -121,6 +167,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_repetition": q_text_repetition,
     "text_top_tokens": q_text_top_tokens,
+    "text_oov_rate": q_text_oov_rate,
 }
 
 _DD_WS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
@@ -232,5 +279,26 @@ FROM (SELECT unnest({_DD_WORDS}) AS token FROM documents) t
 GROUP BY token
 ORDER BY freq DESC, token
 LIMIT 20
+""",
+    "text_oov_rate": f"""
+WITH occ AS (
+  SELECT doc_id, tok, count(*) AS n_occ
+  FROM (SELECT doc_id, unnest({_DD_WORDS}) AS tok FROM documents) t
+  GROUP BY doc_id, tok
+),
+dfs AS (SELECT tok, count(*) AS df FROM occ GROUP BY tok),
+per_doc AS (
+  SELECT o.doc_id,
+         sum(o.n_occ) AS n_tokens,
+         sum(CASE WHEN d.df < {_OOV_MIN_DF} THEN o.n_occ ELSE 0 END) AS n_oov
+  FROM occ o JOIN dfs d USING (tok)
+  GROUP BY o.doc_id
+)
+SELECT a.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN CAST(p.n_oov AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) END AS oov_rate
+FROM documents a LEFT JOIN per_doc p USING (doc_id)
 """,
 }
