@@ -330,6 +330,56 @@ def q_fuzzy_join_one_to_one(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_FUNNEL = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user, each
+    step counts only if it happens STRICTLY AFTER the user's earliest
+    completion of the previous step (the standard product-analytics funnel,
+    not mere per-type existence). One row per step with the surviving user
+    count and the conversion rate from step 1 (exact integer counts, one
+    correctly-rounded divide).
+
+    Scale shape: per-step earliest-completion times are map-side-combining
+    min aggregations keyed on user_id; each step joins the previous step's
+    (user_id, t) table — slim two-column joins, no window over the full
+    event stream, no skew wider than one user's events.
+    """
+    e = tbl(spark, sf, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+    steps = []
+    prev = None
+    for etype in _FUNNEL:
+        s = e.where(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev.select("user_id", "t_prev"), "user_id").where(
+                F.col("ts") > F.col("t_prev")
+            )
+        cur = s.groupBy("user_id").agg(F.min("ts").alias("t"))
+        steps.append(cur)
+        prev = cur.select("user_id", F.col("t").alias("t_prev"))
+
+    counts = [s.agg(F.count(F.lit(1)).alias("n")) for s in steps]
+    rows = None
+    for i, (etype, cnt) in enumerate(zip(_FUNNEL, counts)):
+        r = cnt.select(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(etype).alias("event_type"),
+            F.col("n").cast("long").alias("n_users"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    base = counts[0].select(F.col("n").alias("n_base"))
+    return rows.join(F.broadcast(base)).select(
+        "step",
+        "event_type",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("n_base").cast("double")).alias("conversion"),
+    )
+
+
 QUERIES = {
     "similar_names_by_nation": q_similar_names_by_nation,
     "similarity_join_docs": q_similarity_join_docs,
@@ -525,3 +575,32 @@ WHERE r.osa <= {_EDJ_OSA_K}
 
 
 ORACLES["edjoin_docs_osa"] = _edjoin_osa_oracle()
+
+QUERIES["events_funnel"] = q_events_funnel
+ORACLES["events_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT CAST(step AS BIGINT) AS step, event_type, CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_users AS DOUBLE) / CAST((SELECT count(*) FROM s1) AS DOUBLE) AS conversion
+FROM c
+"""

@@ -262,11 +262,64 @@ def q_streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(_SSJ_SINK)
 
 
+_SESS_SINK = "streaming_session_window_mem"
+_SESS_GAP = "30 minutes"
+_SESS_DELAY = "1 hour"
+
+
+def q_streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked SESSION-window aggregation (``F.session_window``) — the
+    dynamic-gap counterpart to the tumbling window: per-user sessions close
+    after a {_SESS_GAP} silence, and append mode emits a session once the
+    watermark passes its end (last event + gap). Session state is merged
+    incrementally by Spark's session-window state store — the streaming
+    form of the batch `events_sessionize` query.
+
+    With ``availableNow`` the emission set is closed-form: final watermark
+    = max(ts) − {_SESS_DELAY}; emitted sessions are exactly the merged
+    (gap ≥ {_SESS_GAP} starts a new one — the window end is EXCLUSIVE, so
+    an event at exactly start+gap does not extend) sessions whose end ≤
+    watermark. The DuckDB twin sessionizes with a lag/cumsum window and
+    applies that boundary.
+    """
+    batch = tbl(spark, sf, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf)
+    )
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", _SESS_DELAY)
+        .groupBy(F.session_window("ts", _SESS_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = agg.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_SESS_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_session_window did not drain within 300s")
+    return spark.table(_SESS_SINK)
+
+
 QUERIES = {
     "streaming_fuzzy_link": q_streaming_fuzzy_link,
     "streaming_incremental_link": q_streaming_incremental_link,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_stream_join": q_streaming_stream_join,
+    "streaming_session_window": q_streaming_session_window,
 }
 
 def _incremental_oracle() -> str:
@@ -341,5 +394,33 @@ FROM events a JOIN events b
   ON a.user_id = b.user_id
  AND a.event_type = 'click' AND b.event_type = 'purchase'
  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {_SSJ_RANGE_MIN} MINUTES
+""",
+    # sessionize with lag/cumsum (gap >= 30 min starts a new session — the
+    # session-window end is exclusive), then apply the append-mode emission
+    # boundary: session end (last event + gap) <= watermark (max(ts) - 1h)
+    "streaming_session_window": """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT user_id, sid, min(ts) AS s, max(ts) + INTERVAL 30 MINUTES AS e, count(*) AS n
+  FROM sess GROUP BY user_id, sid
+),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT user_id,
+       strftime(s, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(e, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(n AS BIGINT) AS n_events
+FROM agg, wm
+WHERE e <= wm.w
 """,
 }
