@@ -21,7 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from levenshtein_spark.driver_queries import tbl
-from levenshtein_spark.functions.vectors import banded_lsh_keys, cosine, lsh_bucket
+from levenshtein_spark.functions.vectors import banded_lsh_keys, cosine, dot, lsh_bucket
 
 _N_PROBES = 10
 _TOP_K = 5
@@ -227,12 +227,123 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Product quantization: M subspaces × K codewords; dim 64 → 4 × 16-dim subs.
+# K = 16 arbitrary-deterministic codewords: planted-near-dup top-1 recall
+# 0.85 (vs 0.63 at K = 8), pinned in tests/test_ann.py. On ISOTROPIC random
+# vectors PQ's exact-top-k recall is inherently poor (tiny margins between
+# unrelated neighbors — the PQ literature's motivating observation that it
+# exploits correlated structure); the near-dup regime is the one this
+# corpus's dedup/ANN tracks actually care about.
+_PQ_M, _PQ_SUBDIM, _PQ_K = 4, 16, 16
+
+
+def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-k — the third classic ANN scale family
+    next to LSH and IVF, attacking MEMORY instead of candidate count: each
+    vector is stored as {_PQ_M} one-byte codes (argmax inner product
+    against a per-subspace codebook), and query-to-vector inner product is
+    approximated asymmetrically (ADC) as the sum of {_PQ_M} precomputed
+    query-to-codeword partials — the scan reads 4 bytes per vector instead
+    of 64 floats (16× compression here; 64-128× at production dims).
+
+    The codebook is deterministic (subvectors of the {_PQ_K} lowest
+    vec_ids) so the twin reproduces it exactly — swapping in k-means
+    centroids changes only the ``cb`` DataFrame. Exactness discipline:
+    every dot product is the same left-fold in both engines, the ADC sum
+    is parenthesized left-associatively via a 4-way column expression (a
+    groupBy sum over the M partials would reorder float addition), and
+    ranking uses the rounded score.
+
+    Scale shape: encoding is a broadcast of the M×K codebook + map-side
+    argmax (O(N·K·d/M) flops, no shuffle wider than the code table); the
+    ADC table is queries×M×K (tiny, broadcast); the scan is N × {_PQ_M}
+    broadcast-hash lookups — embarrassingly parallel, zero shuffle until
+    the final per-query top-k (WindowGroupLimit).
+    """
+    e = tbl(spark, sf, "embeddings")
+    probes = e.where(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    return pq_topk(e, probes, top_k=_TOP_K)
+
+
+def pq_topk(e: DataFrame, probes: DataFrame, top_k: int) -> DataFrame:
+    """PQ-ADC search core (semantics in :func:`q_ann_pq_topk`; factored out
+    so tests can plant near-duplicates): codebook = subvectors of the
+    {_PQ_K} lowest vec_ids of ``e``."""
+
+    def sub(col, m):
+        return F.slice(col, m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+
+    cb = None  # (m, code, cvec)
+    for m in range(_PQ_M):
+        part = e.where(F.col("vec_id") < _PQ_K).select(
+            F.lit(m).alias("m"),
+            F.col("vec_id").alias("code"),
+            sub(F.col("embedding"), m).alias("cvec"),
+        )
+        cb = part if cb is None else cb.unionByName(part)
+    cb = cb.persist()
+
+    subs = None  # (vec_id, m, xv)
+    for m in range(_PQ_M):
+        part = e.select("vec_id", F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("xv"))
+        subs = part if subs is None else subs.unionByName(part)
+
+    scored = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "code", dot(F.col("xv"), F.col("cvec")).alias("d")
+    )
+    codes = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.max(F.struct(F.col("d"), (-F.col("code")).alias("nc"))).alias("mx"))
+        .select("vec_id", "m", (-F.col("mx.nc")).alias("code"))
+    )
+    codes_w = codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+
+    # one (query_id, code, part_m) ADC table per subspace — queries×K rows,
+    # broadcast; joining them as columns keeps the ADC sum's float-op order
+    # fixed (a groupBy sum over M rows would reorder the additions)
+    cand = codes_w
+    for m in range(_PQ_M):
+        t = probes.join(F.broadcast(cb.where(F.col("m") == m)), F.lit(True)).select(
+            F.col("query_id").alias(f"q{m}"),
+            F.col("code").alias(f"c{m}_k"),
+            dot(sub(F.col("q"), m), F.col("cvec")).alias(f"part{m}"),
+        )
+        on = F.col(f"c{m}") == F.col(f"c{m}_k")
+        if m > 0:
+            on = on & (F.col("q0") == F.col(f"q{m}"))
+        cand = cand.join(F.broadcast(t), on)
+    cand = cand.withColumn("query_id", F.col("q0"))
+    # left-associative ADC sum — fixed float-op order in both engines
+    adc_sum = F.col("part0")
+    for m in range(1, _PQ_M):
+        adc_sum = adc_sum + F.col(f"part{m}")
+    cand = cand.where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(adc_sum, 6).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_score").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "adc_score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_bucket_topk": q_ann_bucket_topk,
     "ann_banded_topk": q_ann_banded_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "dedup_embedding": q_dedup_embedding,
 }
 
@@ -396,3 +507,60 @@ ranked AS (
 SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn = 1
 """,
 }
+
+_DD_PQ_DOT = _DD_DOT  # same left-fold dot as every other vector twin
+
+ORACLES["ann_pq_topk"] = f"""
+WITH ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+cb AS (
+  SELECT ms.m AS m, vec_id AS code,
+         embedding[ms.m * {_PQ_SUBDIM} + 1 : ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS cvec
+  FROM embeddings, ms WHERE vec_id < {_PQ_K}
+),
+subs AS (
+  SELECT vec_id, ms.m AS m,
+         embedding[ms.m * {_PQ_SUBDIM} + 1 : ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS xv
+  FROM embeddings, ms
+),
+scored AS (
+  SELECT s.vec_id, s.m, c.code,
+         {_DD_PQ_DOT.format(a='s.xv', b='c.cvec')} AS d
+  FROM subs s JOIN cb c ON c.m = s.m
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d DESC, code) AS rn
+    FROM scored) t WHERE rn = 1
+),
+codes_w AS (
+  SELECT vec_id,
+         {", ".join(f"max(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(_PQ_M))}
+  FROM codes GROUP BY vec_id
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < {_N_PROBES}
+),
+adc AS (
+  SELECT p.query_id, c.m, c.code,
+         {_DD_PQ_DOT.format(a="p.q[c.m * %d + 1 : c.m * %d + %d]" % (_PQ_SUBDIM, _PQ_SUBDIM, _PQ_SUBDIM), b='c.cvec')} AS part
+  FROM probes p, cb c
+),
+cand AS (
+  SELECT a0.query_id, w.vec_id AS neighbor_id,
+         (((a0.part + a1.part) + a2.part) + a3.part) AS adc
+  FROM codes_w w
+  {" ".join(
+      f"JOIN adc a{m} ON a{m}.m = {m} AND a{m}.code = w.c{m}"
+      + (f" AND a{m}.query_id = a0.query_id" if m > 0 else "")
+      for m in range(_PQ_M)
+  )}
+  WHERE w.vec_id <> a0.query_id
+)
+SELECT query_id, neighbor_id, round(adc, 6) AS adc_score, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(adc, 6) DESC, neighbor_id) AS rank
+  FROM cand) t
+WHERE rank <= {_TOP_K}
+"""

@@ -604,3 +604,56 @@ SELECT CAST(step AS BIGINT) AS step, event_type, CAST(n_users AS BIGINT) AS n_us
        CAST(n_users AS DOUBLE) / CAST((SELECT count(*) FROM s1) AS DOUBLE) AS conversion
 FROM c
 """
+
+
+def q_events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention — the second product-analytics staple next
+    to the funnel: users cohorted by the week of their first event; cell
+    (cohort_week, week_offset) counts how many of them were active k weeks
+    later. All exact integers (week starts are epoch-aligned, offsets are
+    exact multiples of 604800 s).
+
+    Scale shape: first-event times are one map-side-combining min per
+    user; the activity table joins back on user_id (slim two-column join);
+    the (user, cohort, k) projection is deduped then counted — two stacked
+    map-side-combining aggregations, same discipline as dedup_substring's
+    support counting. No window over the event stream.
+    """
+    e = tbl(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    first = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    act = e.join(first, "user_id").select(
+        "user_id",
+        F.date_trunc("week", "t0").alias("cw"),
+        F.date_trunc("week", "ts").alias("wk"),
+    )
+    cells = act.select(
+        "user_id",
+        "cw",
+        ((F.col("wk").cast("long") - F.col("cw").cast("long")) / 604800)
+        .cast("long")
+        .alias("week_offset"),
+    ).distinct()
+    return (
+        cells.groupBy(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"), "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+QUERIES["events_retention"] = q_events_retention
+ORACLES["events_retention"] = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT DISTINCT e.user_id, f.cw,
+         (CAST(epoch(date_trunc('week', e.ts)) AS BIGINT)
+          - CAST(epoch(f.cw) AS BIGINT)) // 604800 AS week_offset
+  FROM events e JOIN f USING (user_id)
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM cells GROUP BY cw, week_offset
+"""
