@@ -356,6 +356,28 @@ def substring_spans(d: DataFrame, width: int = _SUB_W) -> DataFrame:
     )
 
 
+def q_dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal duplicated REGIONS: adjacent duplicated window positions
+    merged into islands (the span a curation pass would actually cut —
+    Lee et al. remove the duplicated span, not one window per position).
+    Island detection is the classic gaps-and-islands rewrite: group key =
+    pos − row_number() within the doc; span covers tokens
+    [min(pos), max(pos) + W − 1].
+
+    Scale shape: the window runs PER DOCUMENT (partitionBy doc_id over the
+    already-slim (doc_id, pos) stream — state is one doc's dup positions,
+    never the corpus), then one map-side-combining groupBy per island.
+    """
+    spans = substring_spans(tbl(spark, sf, "documents")).select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = spans.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (_SUB_W - 1)).alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -365,6 +387,7 @@ QUERIES = {
     "dedup_tfidf": q_dedup_tfidf,
     "dedup_prefix": q_dedup_prefix,
     "dedup_substring": q_dedup_substring,
+    "dedup_substring_spans": q_dedup_substring_spans,
 }
 
 
@@ -529,5 +552,27 @@ support AS (
 )
 SELECT w.doc_id, w.pos, w.gram_md5, CAST(support.n_docs AS BIGINT) AS n_docs
 FROM w JOIN support USING (gram_md5)
+""",
+    "dedup_substring_spans": f"""
+WITH t AS (SELECT doc_id, {_DD_TOKENS} AS toks FROM documents),
+w AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(toks[pos:pos + {_SUB_W - 1}], ' ')) AS gram_md5
+  FROM t, UNNEST(generate_series(1, len(toks) - {_SUB_W - 1})) AS s(pos)
+  WHERE len(toks) >= {_SUB_W}
+),
+support AS (
+  SELECT gram_md5 FROM w GROUP BY gram_md5 HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (SELECT w.doc_id, w.pos FROM w JOIN support USING (gram_md5)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {_SUB_W - 1} AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, grp
 """,
 }

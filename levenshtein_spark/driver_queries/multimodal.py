@@ -200,12 +200,108 @@ def q_dedup_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
     ).where(F.col("hamming") <= _AH_HAM)
 
 
+# Audio near-dup: 56-bit energy-profile fingerprint over the REAL WAV
+# decode path. The payload generator adds an amplitude envelope
+# (1 + (doc_id + i//8) % 7 over a ±4096 carrier) because a flat synthetic
+# sawtooth has equal per-segment energy everywhere — every fingerprint
+# collapses to one value (measured: 1 distinct fp over 500 docs); the
+# envelope gives each doc a real energy profile (486 distinct).
+_AF_SEG = 56
+_AF_HAM = 6
+
+
+def _wav_am_payloads(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, payload): amplitude-modulated 16-bit PCM,
+    flat sample i = (((doc_id·13 + 11i) % 8192) − 4096) · (1 + (doc_id + i//8) % 7)
+    (|v| ≤ 28672 < 2^15), dims/rate as in :func:`_wav_payloads`."""
+    import numpy as np
+    import pandas as pd
+
+    from levenshtein_spark.operators.wav import encode_wav
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                L = len(str(text).encode("utf-8"))
+                n = _WAV_NS[0] + L % _WAV_NS[1]
+                ch = 1 + doc_id % 2
+                rate = _WAV_RATES[0] + _WAV_RATES[1] * (doc_id % _WAV_RATES[2])
+                i = np.arange(n * ch, dtype=np.int64)
+                v = (((doc_id * 13 + i * 11) % 8192) - 4096) * (1 + (doc_id + i // 8) % 7)
+                payloads.append(encode_wav(v.astype(np.int16).reshape(n, ch), rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return d.mapInPandas(run, "doc_id long, payload binary")
+
+
+def _audio_fp_table(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (id, afp): decode the ACTUAL RIFF bytes, split the
+    flat sample stream into {_AF_SEG} index segments (seg(i) = i·S // T, the
+    same rule in both engines), and threshold each segment's exact |v| sum
+    against the length-weighted mean by integer cross-multiplication
+    (energy_j · T ≥ total · len_j — no float mean)."""
+    import numpy as np
+    import pandas as pd
+
+    from levenshtein_spark.operators.wav import decode_wav
+
+    payloads = _wav_am_payloads(d)
+
+    def run(batches):
+        for pdf in batches:
+            fps = []
+            for payload in pdf["payload"]:
+                samples, _rate = decode_wav(bytes(payload))
+                v = samples.astype(np.int64).reshape(-1)  # row-major flat stream
+                t = v.shape[0]
+                seg = np.arange(t, dtype=np.int64) * _AF_SEG // t
+                e = np.bincount(seg, weights=np.abs(v), minlength=_AF_SEG).astype(np.int64)
+                ln = np.bincount(seg, minlength=_AF_SEG).astype(np.int64)
+                tot = int(np.abs(v).sum())
+                bits = (e * t) >= (tot * ln)
+                fps.append(int((bits.astype(np.int64) << np.arange(_AF_SEG)).sum()))
+            yield pd.DataFrame(
+                {"id": pdf["doc_id"].astype("int64"), "afp": pd.Series(fps, dtype="int64")}
+            )
+
+    return payloads.mapInPandas(run, "id long, afp long")
+
+
+def q_dedup_audio_fp(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-duplicate pairs: energy-profile fingerprints within
+    Hamming {_AF_HAM}, via the same lossless 7-segment pigeonhole + salted
+    slim pairs as the image/text tracks; the brute-force closed-form oracle
+    certifies the RIFF decode, the segment/threshold arithmetic, and the
+    blocking losslessness in one hash match."""
+    from levenshtein_spark.functions.hashing import hamming64, simhash_segment_keys
+    from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
+
+    d = tbl(spark, sf, "documents").select("doc_id", "text")
+    fp = _audio_fp_table(d).persist()
+    blocks = fp.select(
+        F.explode(simhash_segment_keys("afp", _AF_SEG, _AF_HAM + 1, 1)).alias("block_key"),
+        "id",
+    )
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    fat = attach_pair_payload(pairs, fp, ["afp"])
+    return fat.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        hamming64(F.col("afp_a"), F.col("afp_b")).cast("long").alias("hamming"),
+    ).where(F.col("hamming") <= _AF_HAM)
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_decode_ppm": q_multimodal_decode_ppm,
     "multimodal_decode_wav": q_multimodal_decode_wav,
     "dedup_image_ahash": q_dedup_image_ahash,
+    "dedup_audio_fp": q_dedup_audio_fp,
 }
 
 ORACLES = {
@@ -311,5 +407,37 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
 FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ahash, b.ahash)) <= {_AH_HAM}
+""",
+    # brute force over the closed-form AM sample stream: flat sample i of T
+    # = n·ch is (((doc_id·13 + 11i) % 8192) − 4096) · (1 + (doc_id + i//8) % 7);
+    # segment = i·56 // T; bit = energy·T >= total·len (integer cross-mult)
+    "dedup_audio_fp": f"""
+WITH dims AS (
+  SELECT doc_id,
+         ({_WAV_NS[0]} + (strlen(text) % {_WAV_NS[1]})) * (1 + (doc_id % 2)) AS t
+  FROM documents
+),
+sv AS (
+  SELECT d.doc_id, d.t, (s.i * {_AF_SEG}) // d.t AS seg,
+         abs((((d.doc_id * 13 + s.i * 11) % 8192) - 4096)
+             * (1 + (d.doc_id + s.i // 8) % 7)) AS av
+  FROM dims d, UNNEST(range(0, d.t)) AS s(i)
+),
+segs AS (
+  SELECT doc_id, t, seg, sum(av) AS e, count(*) AS ln
+  FROM sv GROUP BY doc_id, t, seg
+),
+tots AS (SELECT doc_id, sum(av) AS tot FROM sv GROUP BY doc_id),
+fps AS (
+  SELECT s.doc_id,
+         CAST(sum(CASE WHEN s.e * s.t >= tt.tot * s.ln
+                       THEN (CAST(1 AS BIGINT) << s.seg) ELSE 0 END) AS BIGINT) AS afp
+  FROM segs s JOIN tots tt USING (doc_id)
+  GROUP BY s.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= {_AF_HAM}
 """,
 }
