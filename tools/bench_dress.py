@@ -87,8 +87,18 @@ def main() -> None:
     record["quadratic_fraction"] = record["n_candidate_pairs"] / (n * (n - 1) / 2)
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/dress_rehearsal.json", "w") as f:
-        json.dump(record, f, indent=2)
+    path = "BENCH/dress_rehearsal.json"
+    merged: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        # legacy single-record layout migrates into the keyed one
+        merged = prev if all(k.startswith("n=") for k in prev) else {
+            f"n={prev['n_customers']}": prev
+        }
+    merged[f"n={n}"] = record
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
     print(json.dumps(record))
 
 
