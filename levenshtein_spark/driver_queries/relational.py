@@ -657,3 +657,125 @@ SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
        CAST(count(*) AS BIGINT) AS n_users
 FROM cells GROUP BY cw, week_offset
 """
+
+
+def q_data_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ / Great-Expectations-style data-quality constraint suite over
+    the lake — the validation pass a production pipeline runs before
+    trusting a day's ingest. One row per constraint with the violation
+    count, row count, and pass flag:
+
+      * uniqueness + completeness of primary keys (customer, orders);
+      * referential integrity orders.o_custkey → customer (anti-join);
+      * range checks (lineitem quantity/discount within contract bounds);
+      * format validity (events.props parses as a JSON object with the
+        expected field).
+
+    All exact integer counts. Scale shape: each check is one scan +
+    map-side-combining aggregation (the unique check counts key groups, not
+    rows, via the usual distinct-then-count stack); the referential check
+    is a broadcast-or-SMJ LEFT ANTI join on the key — no check is wider
+    than the table it audits, and checks over different tables parallelize
+    as independent jobs.
+    """
+    c = tbl(spark, sf, "customer")
+    o = tbl(spark, sf, "orders")
+    li = tbl(spark, sf, "lineitem")
+    e = tbl(spark, sf, "events")
+
+    def report(name, table_name, viol_df_count, total):
+        return (
+            F.lit(name).alias("constraint"),
+            F.lit(table_name).alias("table_name"),
+            viol_df_count.cast("long").alias("n_violations"),
+            total.cast("long").alias("n_rows"),
+            (viol_df_count == 0).alias("passed"),
+        )
+
+    rows = []
+    # customer.c_custkey unique + non-null
+    dup_keys = (
+        c.groupBy("c_custkey").count().where(F.col("count") > 1)
+        .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("v"))
+    )
+    rows.append(
+        dup_keys.join(c.agg(F.count(F.lit(1)).alias("t")))
+        .select(*report("pk_unique", "customer", F.col("v"), F.col("t")))
+    )
+    nulls = c.agg(
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("v"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    rows.append(nulls.select(*report("pk_complete", "customer", F.col("v"), F.col("t"))))
+    # referential integrity: orders.o_custkey must exist in customer
+    orphans = (
+        o.join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    rows.append(
+        orphans.join(o.agg(F.count(F.lit(1)).alias("t")))
+        .select(*report("fk_orders_customer", "orders", F.col("v"), F.col("t")))
+    )
+    # range checks
+    li_checks = li.agg(
+        F.sum(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)).alias("vq"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1).otherwise(0)).alias("vd"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    rows.append(li_checks.select(*report("quantity_in_1_50", "lineitem", F.col("vq"), F.col("t"))))
+    rows.append(li_checks.select(*report("discount_in_0_05", "lineitem", F.col("vd"), F.col("t"))))
+    # format validity: props parses as JSON with a numeric $.k
+    ev = e.agg(
+        F.sum(
+            F.when(F.get_json_object("props", "$.k").isNull(), 1).otherwise(0)
+        ).alias("v"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    rows.append(ev.select(*report("props_json_has_k", "events", F.col("v"), F.col("t"))))
+
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+QUERIES["data_quality_report"] = q_data_quality_report
+ORACLES["data_quality_report"] = """
+WITH dup AS (
+  SELECT coalesce(sum(n), 0) AS v FROM (
+    SELECT count(*) AS n FROM customer GROUP BY c_custkey HAVING count(*) > 1) t
+),
+rows_c AS (SELECT count(*) AS t FROM customer),
+nulls_c AS (SELECT count(*) FILTER (WHERE c_custkey IS NULL) AS v, count(*) AS t FROM customer),
+orph AS (
+  SELECT count(*) AS v FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+),
+rows_o AS (SELECT count(*) AS t FROM orders),
+li AS (
+  SELECT count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS vq,
+         count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5) AS vd,
+         count(*) AS t
+  FROM lineitem
+),
+ev AS (
+  SELECT count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS v,
+         count(*) AS t
+  FROM events
+)
+SELECT 'pk_unique' AS constraint, 'customer' AS table_name,
+       CAST(dup.v AS BIGINT) AS n_violations, CAST(rows_c.t AS BIGINT) AS n_rows,
+       dup.v = 0 AS passed
+FROM dup, rows_c
+UNION ALL
+SELECT 'pk_complete', 'customer', CAST(v AS BIGINT), CAST(t AS BIGINT), v = 0 FROM nulls_c
+UNION ALL
+SELECT 'fk_orders_customer', 'orders', CAST(orph.v AS BIGINT), CAST(rows_o.t AS BIGINT), orph.v = 0
+FROM orph, rows_o
+UNION ALL
+SELECT 'quantity_in_1_50', 'lineitem', CAST(vq AS BIGINT), CAST(t AS BIGINT), vq = 0 FROM li
+UNION ALL
+SELECT 'discount_in_0_05', 'lineitem', CAST(vd AS BIGINT), CAST(t AS BIGINT), vd = 0 FROM li
+UNION ALL
+SELECT 'props_json_has_k', 'events', CAST(v AS BIGINT), CAST(t AS BIGINT), v = 0 FROM ev
+"""
