@@ -275,20 +275,17 @@ def pq_topk(e: DataFrame, probes: DataFrame, top_k: int) -> DataFrame:
     def sub(col, m):
         return F.slice(col, m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
 
-    cb = None  # (m, code, cvec)
-    for m in range(_PQ_M):
-        part = e.where(F.col("vec_id") < _PQ_K).select(
-            F.lit(m).alias("m"),
-            F.col("vec_id").alias("code"),
-            sub(F.col("embedding"), m).alias("cvec"),
-        )
-        cb = part if cb is None else cb.unionByName(part)
-    cb = cb.persist()
-
-    subs = None  # (vec_id, m, xv)
-    for m in range(_PQ_M):
-        part = e.select("vec_id", F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("xv"))
-        subs = part if subs is None else subs.unionByName(part)
+    # ONE scan each for codebook and subvector tables: posexplode over the
+    # array of subspace slices (a per-m unionByName would re-scan the
+    # source M times)
+    all_subs = F.array(*[sub(F.col("embedding"), m) for m in range(_PQ_M)])
+    cb = (
+        e.where(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("code"), F.posexplode(all_subs).alias("m", "cvec"))
+        .select("m", "code", "cvec")
+        .persist()
+    )
+    subs = e.select("vec_id", F.posexplode(all_subs).alias("m", "xv"))
 
     scored = subs.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "code", dot(F.col("xv"), F.col("cvec")).alias("d")

@@ -329,7 +329,9 @@ def substring_spans(d: DataFrame, width: int = _SUB_W) -> DataFrame:
     every width-``width`` token window shared by ≥ 2 distinct documents
     (semantics in :func:`q_dedup_substring`; factored out so tests can
     drive planted corpora through it)."""
-    toks = F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda x: x != "")
+    from levenshtein_spark.functions.text import word_tokens
+
+    toks = word_tokens(F.col("text"))
     wins = (
         d.select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= width)

@@ -1637,8 +1637,13 @@ def q_linkage_rule_cascade(spark: SparkSession, sf: str) -> DataFrame:
         F.col("src").alias("id_a"), F.col("dst").alias("id_b"), F.lit(2).alias("rnk")
     )
     band = F.floor(F.col("c_acctbal") / 1000).cast("long").cast("string")
+    # F.concat (not concat_ws): a NULL component must null the whole key so
+    # the row joins nothing, matching the oracle's NULL-propagating equality
     r3 = rule_pairs(
-        F.concat_ws("|", F.lit("d"), "c_mktsegment", F.col("c_nationkey").cast("string"), band),
+        F.concat(
+            F.lit("d|"), F.col("c_mktsegment"), F.lit("|"),
+            F.col("c_nationkey").cast("string"), F.lit("|"), band,
+        ),
         3,
     )
     return (

@@ -376,7 +376,12 @@ def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
         "step",
         "event_type",
         "n_users",
-        (F.col("n_users").cast("double") / F.col("n_base").cast("double")).alias("conversion"),
+        # n_base = 0 must yield NULL, not NaN: Spark 0.0/0.0 is NaN while
+        # DuckDB's is NULL — guard the divide on both sides
+        F.when(
+            F.col("n_base") > 0,
+            F.col("n_users").cast("double") / F.col("n_base").cast("double"),
+        ).alias("conversion"),
     )
 
 
@@ -601,7 +606,9 @@ c AS (
   SELECT 3, 'purchase', (SELECT count(*) FROM s3)
 )
 SELECT CAST(step AS BIGINT) AS step, event_type, CAST(n_users AS BIGINT) AS n_users,
-       CAST(n_users AS DOUBLE) / CAST((SELECT count(*) FROM s1) AS DOUBLE) AS conversion
+       CASE WHEN (SELECT count(*) FROM s1) > 0
+            THEN CAST(n_users AS DOUBLE) / CAST((SELECT count(*) FROM s1) AS DOUBLE)
+       END AS conversion
 FROM c
 """
 
@@ -759,7 +766,14 @@ li AS (
   FROM lineitem
 ),
 ev AS (
-  SELECT count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS v,
+  -- CASE-guard the extract: DuckDB's json_extract_string ERRORS on
+  -- malformed JSON (the very rows this constraint exists to catch), while
+  -- Spark's get_json_object returns NULL for them
+  SELECT count(*) FILTER (
+           WHERE props IS NULL OR NOT json_valid(props)
+              OR (CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END) IS NULL
+         ) AS v,
          count(*) AS t
   FROM events
 )

@@ -277,10 +277,11 @@ def q_streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
 
     With ``availableNow`` the emission set is closed-form: final watermark
     = max(ts) − {_SESS_DELAY}; emitted sessions are exactly the merged
-    (gap ≥ {_SESS_GAP} starts a new one — the window end is EXCLUSIVE, so
-    an event at exactly start+gap does not extend) sessions whose end ≤
-    watermark. The DuckDB twin sessionizes with a lag/cumsum window and
-    applies that boundary.
+    sessions whose end ≤ watermark. Merge boundary (verified empirically on
+    this Spark): an event at EXACTLY the previous event + gap still extends
+    the session — only a gap STRICTLY greater than {_SESS_GAP} starts a new
+    one, the same strict rule as the batch ``events_sessionize``. The
+    DuckDB twin sessionizes with a lag/cumsum window under that boundary.
     """
     batch = tbl(spark, sf, "events")
     stream = (
@@ -395,14 +396,15 @@ FROM events a JOIN events b
  AND a.event_type = 'click' AND b.event_type = 'purchase'
  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {_SSJ_RANGE_MIN} MINUTES
 """,
-    # sessionize with lag/cumsum (gap >= 30 min starts a new session — the
-    # session-window end is exclusive), then apply the append-mode emission
-    # boundary: session end (last event + gap) <= watermark (max(ts) - 1h)
+    # sessionize with lag/cumsum (only a gap STRICTLY > 30 min starts a new
+    # session — an event at exactly prev+gap still extends, verified against
+    # Spark's session_window), then apply the append-mode emission boundary:
+    # session end (last event + gap) <= watermark (max(ts) - 1h)
     "streaming_session_window": """
 WITH marked AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTES
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTES
               THEN 1 ELSE 0 END AS ns
   FROM events
 ),

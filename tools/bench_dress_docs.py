@@ -93,7 +93,9 @@ def main() -> None:
     ).where(F.col("jaccard") >= _JACCARD_MIN)
     record["n_verified_pairs"] = verified.count()
     record["t_verify_s"] = round(time.monotonic() - t0, 2)
-    record["verified_pairs_per_s"] = round(
+    # throughput of the verify STAGE = candidates it processes per second
+    # (the verified-pair yield is n_verified_pairs, a property of the data)
+    record["candidates_verified_per_s"] = round(
         record["n_candidate_pairs"] / max(record["t_verify_s"], 1e-9)
     )
 
