@@ -60,6 +60,15 @@ def test_top_k_neighbors_window_group_limit(all_plans):
     assert "WindowGroupLimit" in all_plans["top_k_neighbors"]
 
 
+def test_ann_pq_topk_plan_shape(all_plans):
+    """PQ: per-query top-k compiles to WindowGroupLimit, and the encode/ADC
+    joins stay broadcast (no shuffled join of the corpus against the
+    codebook or the probe tables)."""
+    p = all_plans["ann_pq_topk"]
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_rewritten_queries_join_on_block_key(spark):
     """The r01 'weak' joins must stay keyed on block_key (not nation/band)."""
     from levenshtein_spark.driver_queries.dedup import (
