@@ -761,7 +761,10 @@ def q_pprl_bloom_match(spark: SparkSession, sf: str) -> DataFrame:
     """
     c = tbl(spark, sf, "customer")
     enc = pprl_encode(c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name")))
-    blocks = _customer_blocks(spark, sf)
+    # persisted: candidate_pairs consumes the blocks lineage ~6 ways (census,
+    # hot-key tag, both self-join sides, hot left/right) — same reason every
+    # sibling call site persists
+    blocks = _customer_blocks(spark, sf).persist()
     pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
     fat = attach_pair_payload(pairs, enc, [f"bloom{j}" for j in range(_PPRL_WORDS)])
     inter = _fold_add(

@@ -468,55 +468,8 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.pt, b.pt) <= {_EDJ_K}
 """,
     "edjoin_docs_osa": None,  # built below (needs the recursive OSA CTE)
-    "fuzzy_join_customers": """
-WITH l AS (
-  SELECT c_custkey AS id_l, c_nationkey, substr(c_name, 10, 3) AS s1,
-         substr(c_name, 13, 3) AS s2, c_name AS name_l
-  FROM customer
-),
-r AS (
-  SELECT c_custkey + 1000000 AS id_r, c_nationkey, substr(c_name, 10, 3) AS s1,
-         substr(c_name, 13, 3) AS s2,
-         substr(c_name, 1, 16) || substr(c_name, 18, 1) || substr(c_name, 17, 1) AS name_r
-  FROM customer
-),
-scored AS (
-  SELECT l.id_l, r.id_r,
-         CAST(least(levenshtein(l.name_l, r.name_r),
-                    least(2, greatest(length(l.name_l), length(r.name_r))) + 1) AS BIGINT) AS dist
-  FROM l JOIN r ON l.c_nationkey = r.c_nationkey AND l.s1 = r.s1 AND l.s2 = r.s2
-)
-SELECT id_l, id_r, dist FROM scored WHERE dist <= 2
-""",
-    # same candidate CTE; mutual-best via two deterministic windows —
-    # row_number ordered by (dist, other id) is exactly min(struct(dist, id))
-    "fuzzy_join_one_to_one": """
-WITH l AS (
-  SELECT c_custkey AS id_l, c_nationkey, substr(c_name, 10, 3) AS s1,
-         substr(c_name, 13, 3) AS s2, c_name AS name_l
-  FROM customer
-),
-r AS (
-  SELECT c_custkey + 1000000 AS id_r, c_nationkey, substr(c_name, 10, 3) AS s1,
-         substr(c_name, 13, 3) AS s2,
-         substr(c_name, 1, 16) || substr(c_name, 18, 1) || substr(c_name, 17, 1) AS name_r
-  FROM customer
-),
-scored AS (
-  SELECT l.id_l, r.id_r,
-         CAST(least(levenshtein(l.name_l, r.name_r),
-                    least(2, greatest(length(l.name_l), length(r.name_r))) + 1) AS BIGINT) AS dist
-  FROM l JOIN r ON l.c_nationkey = r.c_nationkey AND l.s1 = r.s1 AND l.s2 = r.s2
-),
-cand AS (SELECT id_l, id_r, dist FROM scored WHERE dist <= 2),
-rk AS (
-  SELECT id_l, id_r, dist,
-         row_number() OVER (PARTITION BY id_l ORDER BY dist, id_r) AS rl,
-         row_number() OVER (PARTITION BY id_r ORDER BY dist, id_l) AS rr
-  FROM cand
-)
-SELECT id_l, id_r, dist FROM rk WHERE rl = 1 AND rr = 1
-""",
+    "fuzzy_join_customers": None,  # built below from the shared candidate CTE
+    "fuzzy_join_one_to_one": None,  # built below from the shared candidate CTE
     "events_sessionize": """
 WITH g AS (
   SELECT user_id,
@@ -792,4 +745,40 @@ UNION ALL
 SELECT 'discount_in_0_05', 'lineitem', CAST(vd AS BIGINT), CAST(t AS BIGINT), vd = 0 FROM li
 UNION ALL
 SELECT 'props_json_has_k', 'events', CAST(v AS BIGINT), CAST(t AS BIGINT), v = 0 FROM ev
+"""
+
+# Shared candidate CTE for the two-table fuzzy-join oracles — ONE definition
+# (blocking key, k bound, name mutation) so the two twins can't desync.
+_FJ_CAND = """
+WITH l AS (
+  SELECT c_custkey AS id_l, c_nationkey, substr(c_name, 10, 3) AS s1,
+         substr(c_name, 13, 3) AS s2, c_name AS name_l
+  FROM customer
+),
+r AS (
+  SELECT c_custkey + 1000000 AS id_r, c_nationkey, substr(c_name, 10, 3) AS s1,
+         substr(c_name, 13, 3) AS s2,
+         substr(c_name, 1, 16) || substr(c_name, 18, 1) || substr(c_name, 17, 1) AS name_r
+  FROM customer
+),
+scored AS (
+  SELECT l.id_l, r.id_r,
+         CAST(least(levenshtein(l.name_l, r.name_r),
+                    least(2, greatest(length(l.name_l), length(r.name_r))) + 1) AS BIGINT) AS dist
+  FROM l JOIN r ON l.c_nationkey = r.c_nationkey AND l.s1 = r.s1 AND l.s2 = r.s2
+),
+cand AS (SELECT id_l, id_r, dist FROM scored WHERE dist <= 2)
+"""
+
+ORACLES["fuzzy_join_customers"] = f"{_FJ_CAND}\nSELECT id_l, id_r, dist FROM cand"
+# mutual-best via two deterministic windows — row_number ordered by
+# (dist, other id) is exactly min(struct(dist, id))
+ORACLES["fuzzy_join_one_to_one"] = f"""{_FJ_CAND},
+rk AS (
+  SELECT id_l, id_r, dist,
+         row_number() OVER (PARTITION BY id_l ORDER BY dist, id_r) AS rl,
+         row_number() OVER (PARTITION BY id_r ORDER BY dist, id_l) AS rr
+  FROM cand
+)
+SELECT id_l, id_r, dist FROM rk WHERE rl = 1 AND rr = 1
 """

@@ -217,4 +217,7 @@ if HAS_HYPOTHESIS:
                 weighted, ids_df, t_tight=t_tight, t_loose=1
             ).collect()
         }
+        # unpersist before the next Hypothesis example: the spark fixture is
+        # session-scoped, so leaked caches accumulate across examples/shrinks
+        weighted.unpersist()
         assert got_c == exp_c
