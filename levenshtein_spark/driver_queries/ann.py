@@ -267,18 +267,16 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq_topk(e, probes, top_k=_TOP_K)
 
 
-def pq_topk(e: DataFrame, probes: DataFrame, top_k: int) -> DataFrame:
-    """PQ-ADC search core (semantics in :func:`q_ann_pq_topk`; factored out
-    so tests can plant near-duplicates): codebook = subvectors of the
-    {_PQ_K} lowest vec_ids of ``e``."""
+def _pq_sub(col, m):
+    return F.slice(col, m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
 
-    def sub(col, m):
-        return F.slice(col, m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
 
-    # ONE scan each for codebook and subvector tables: posexplode over the
-    # array of subspace slices (a per-m unionByName would re-scan the
-    # source M times)
-    all_subs = F.array(*[sub(F.col("embedding"), m) for m in range(_PQ_M)])
+def _pq_cb_and_codes(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Codebook ``(m, code, cvec)`` (persisted, broadcastable) and per-vector
+    PQ code words ``(vec_id, c0..c{M-1})``. ONE scan each via posexplode over
+    the array of subspace slices (a per-m unionByName would re-scan the
+    source M times)."""
+    all_subs = F.array(*[_pq_sub(F.col("embedding"), m) for m in range(_PQ_M)])
     cb = (
         e.where(F.col("vec_id") < _PQ_K)
         .select(F.col("vec_id").alias("code"), F.posexplode(all_subs).alias("m", "cvec"))
@@ -286,7 +284,6 @@ def pq_topk(e: DataFrame, probes: DataFrame, top_k: int) -> DataFrame:
         .persist()
     )
     subs = e.select("vec_id", F.posexplode(all_subs).alias("m", "xv"))
-
     scored = subs.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "code", dot(F.col("xv"), F.col("cvec")).alias("d")
     )
@@ -301,22 +298,25 @@ def pq_topk(e: DataFrame, probes: DataFrame, top_k: int) -> DataFrame:
             for m in range(_PQ_M)
         ]
     )
+    return cb, codes_w
 
-    # one (query_id, code, part_m) ADC table per subspace — queries×K rows,
-    # broadcast; joining them as columns keeps the ADC sum's float-op order
-    # fixed (a groupBy sum over M rows would reorder the additions)
-    cand = codes_w
+
+def _pq_adc_rank(cand: DataFrame, probes: DataFrame, cb: DataFrame, top_k: int) -> DataFrame:
+    """Rank a candidate table ``(query_id, vec_id, c0..c{M-1})`` by ADC.
+
+    One (query_id, code, part_m) table per subspace — queries×K rows,
+    broadcast; joining them as COLUMNS keeps the ADC sum's float-op order
+    fixed (a groupBy sum over M rows would reorder the additions)."""
     for m in range(_PQ_M):
         t = probes.join(F.broadcast(cb.where(F.col("m") == m)), F.lit(True)).select(
             F.col("query_id").alias(f"q{m}"),
             F.col("code").alias(f"c{m}_k"),
-            dot(sub(F.col("q"), m), F.col("cvec")).alias(f"part{m}"),
+            dot(_pq_sub(F.col("q"), m), F.col("cvec")).alias(f"part{m}"),
         )
-        on = F.col(f"c{m}") == F.col(f"c{m}_k")
-        if m > 0:
-            on = on & (F.col("q0") == F.col(f"q{m}"))
-        cand = cand.join(F.broadcast(t), on)
-    cand = cand.withColumn("query_id", F.col("q0"))
+        cand = cand.join(
+            F.broadcast(t),
+            (F.col("query_id") == F.col(f"q{m}")) & (F.col(f"c{m}") == F.col(f"c{m}_k")),
+        )
     # left-associative ADC sum — fixed float-op order in both engines
     adc_sum = F.col("part0")
     for m in range(1, _PQ_M):
@@ -334,6 +334,65 @@ def pq_topk(e: DataFrame, probes: DataFrame, top_k: int) -> DataFrame:
     )
 
 
+def pq_topk(e: DataFrame, probes: DataFrame, top_k: int) -> DataFrame:
+    """PQ-ADC search core (semantics in :func:`q_ann_pq_topk`; factored out
+    so tests can plant near-duplicates): codebook = subvectors of the
+    {_PQ_K} lowest vec_ids of ``e``; exhaustive ADC scan (every vector is a
+    candidate for every query)."""
+    cb, codes_w = _pq_cb_and_codes(e)
+    cand = codes_w.join(F.broadcast(probes.select("query_id")), F.lit(True))
+    return _pq_adc_rank(cand, probes, cb, top_k)
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF + PQ composed (FAISS's IVFADC — THE standard billion-scale ANN
+    layout): the inverted file restricts each query to its ``n_probe``
+    nearest coarse cells, and within those cells vectors are scored by the
+    PQ asymmetric-distance lookup instead of full-precision dot products.
+    The two knobs attack different costs — IVF cuts the CANDIDATE COUNT to
+    n_probe/K of the corpus, PQ cuts the BYTES PER CANDIDATE 16× — and this
+    query wires the repo's two existing oracle-exact implementations
+    together unchanged (same deterministic codebooks, same tie rules, same
+    fixed-order ADC float sum).
+
+    Scale shape: everything before the final per-query top-k is broadcast
+    joins and map-side aggregations over single scans; the candidate stream
+    is (query, cell-member) pairs carrying only 4 code bytes each.
+    """
+    e = tbl(spark, sf, "embeddings")
+    cent = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    probes = e.where(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    cb, codes_w = _pq_cb_and_codes(e)
+
+    # coarse cell assignment — identical rule to ivf_topk (argmax cosine,
+    # ties to the lower cid)
+    scored_cells = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", cosine(F.col("embedding"), F.col("cvec")).alias("ccos")
+    )
+    assign = (
+        scored_cells.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select("vec_id", (-F.col("m.ncid")).alias("cell"))
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.col("pcos").desc(), "cid")
+    probe_cells = (
+        probes.crossJoin(F.broadcast(cent))
+        .select("query_id", "cid", cosine(F.col("q"), F.col("cvec")).alias("pcos"))
+        .withColumn("prn", F.row_number().over(pw))
+        .where(F.col("prn") <= _IVF_NPROBE)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    members = assign.join(codes_w, "vec_id")
+    cand = probe_cells.join(members, "cell").select(
+        "query_id", "vec_id", *[f"c{m}" for m in range(_PQ_M)]
+    )
+    return _pq_adc_rank(cand, probes, cb, _TOP_K)
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -341,6 +400,7 @@ QUERIES = {
     "ann_banded_topk": q_ann_banded_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "dedup_embedding": q_dedup_embedding,
 }
 
@@ -553,6 +613,85 @@ cand AS (
       for m in range(_PQ_M)
   )}
   WHERE w.vec_id <> a0.query_id
+)
+SELECT query_id, neighbor_id, round(adc, 6) AS adc_score, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(adc, 6) DESC, neighbor_id) AS rank
+  FROM cand) t
+WHERE rank <= {_TOP_K}
+"""
+
+ORACLES["ann_ivfpq_topk"] = f"""
+WITH ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+cb AS (
+  SELECT ms.m AS m, vec_id AS code,
+         embedding[ms.m * {_PQ_SUBDIM} + 1 : ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS cvec
+  FROM embeddings, ms WHERE vec_id < {_PQ_K}
+),
+subs AS (
+  SELECT vec_id, ms.m AS m,
+         embedding[ms.m * {_PQ_SUBDIM} + 1 : ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS xv
+  FROM embeddings, ms
+),
+pq_scored AS (
+  SELECT s.vec_id, s.m, c.code, {_DD_PQ_DOT.format(a='s.xv', b='c.cvec')} AS d
+  FROM subs s JOIN cb c ON c.m = s.m
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d DESC, code) AS rn
+    FROM pq_scored) t WHERE rn = 1
+),
+codes_w AS (
+  SELECT vec_id,
+         {", ".join(f"max(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(_PQ_M))}
+  FROM codes GROUP BY vec_id
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_dd_cosine('e.embedding', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probe_cells AS (
+  SELECT query_id, cell FROM (
+    SELECT p.vec_id AS query_id, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY {_dd_cosine('p.embedding', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM embeddings p CROSS JOIN cent c
+    WHERE p.vec_id < {_N_PROBES}
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < {_N_PROBES}
+),
+adc AS (
+  SELECT p.query_id, c.m, c.code,
+         {_DD_PQ_DOT.format(a="p.q[c.m * %d + 1 : c.m * %d + %d]" % (_PQ_SUBDIM, _PQ_SUBDIM, _PQ_SUBDIM), b='c.cvec')} AS part
+  FROM probes p, cb c
+),
+cand AS (
+  SELECT pc.query_id, w.vec_id AS neighbor_id,
+         (((a0.part + a1.part) + a2.part) + a3.part) AS adc
+  FROM probe_cells pc
+  JOIN assign a ON a.cell = pc.cell
+  JOIN codes_w w ON w.vec_id = a.vec_id
+  {" ".join(
+      f"JOIN adc a{m} ON a{m}.m = {m} AND a{m}.code = w.c{m} AND a{m}.query_id = pc.query_id"
+      for m in range(_PQ_M)
+  )}
+  WHERE w.vec_id <> pc.query_id
 )
 SELECT query_id, neighbor_id, round(adc, 6) AS adc_score, CAST(rank AS INTEGER) AS rank
 FROM (
