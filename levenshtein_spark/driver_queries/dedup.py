@@ -578,3 +578,63 @@ SELECT doc_id, min(pos) AS span_start,
 FROM isl GROUP BY doc_id, grp
 """,
 }
+
+
+_CANON_J = 0.8  # collapse threshold: verified near-dups this similar merge
+
+
+def q_dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup COLLAPSE: one canonical doc_id per near-duplicate component
+    — the step a curation pipeline actually ships (plans/curation.py runs
+    this exact shape in production form). Edges are the MinHash candidates
+    verified at Jaccard ≥ {_CANON_J}; components come from the same
+    star-contraction transitive closure as the linkage pipeline; the
+    canonical is the component minimum; singletons label themselves.
+
+    The DuckDB twin recomputes the closure with a recursive CTE, so the
+    hash match certifies band keys, Jaccard verification, AND the
+    distributed component labels in one row set.
+    """
+    from levenshtein_spark.operators.clustering import cluster_labels
+
+    edges = (
+        q_dedup_minhash(spark, sf)
+        .where(F.col("jaccard") >= _CANON_J)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    ids = tbl(spark, sf, "documents").select(F.col("doc_id").alias("id"))
+    return cluster_labels(ids, edges).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("canonical_id"),
+    )
+
+
+QUERIES["dedup_canonical"] = q_dedup_canonical
+ORACLES["dedup_canonical"] = f"""
+WITH RECURSIVE keys AS ({_dd_minhash_keys_sql()}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM keys l JOIN keys r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+grams AS (SELECT doc_id, list_distinct({_DD_BIGRAMS}) AS g FROM documents),
+edges AS (
+  SELECT p.doc_a AS src, p.doc_b AS dst
+  FROM pairs p
+  JOIN grams a ON a.doc_id = p.doc_a
+  JOIN grams b ON b.doc_id = p.doc_b
+  WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) >= {_CANON_J}
+),
+und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+reach(root, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT CAST(root AS BIGINT) AS doc_id, CAST(min(node) AS BIGINT) AS canonical_id
+FROM reach GROUP BY root
+"""
