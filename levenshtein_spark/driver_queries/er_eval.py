@@ -39,6 +39,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from levenshtein_spark.session import scoped_persist
 from levenshtein_spark.driver_queries import tbl
 from levenshtein_spark.driver_queries.linkage import (
     _CUST_EDGES,
@@ -219,7 +220,7 @@ def q_top_k_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     # persisted: blocks feed the pair operator four ways (census + hot split
     # + both join sides); scored feeds BOTH branches of the symmetrizing
     # union — without it the salted join and the Arrow scoring run twice
-    blocks = _customer_blocks(spark, sf).persist()
+    blocks = _customer_blocks(spark, sf).transform(scoped_persist)
     pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
     fat = attach_pair_payload(pairs, records, ["name"])
     scored = (
@@ -227,7 +228,7 @@ def q_top_k_neighbors(spark: SparkSession, sf: str) -> DataFrame:
             "id_a", "id_b", bounded_edit_dist("name_a", "name_b", _NBR_CAP).alias("d")
         )
         .where(F.col("d") <= _NBR_CAP)
-        .persist()
+        .transform(scoped_persist)
     )
     sym = scored.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "d"
@@ -547,7 +548,7 @@ def _docs_weighted_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from levenshtein_spark.operators.normalize import normalize
 
     n = normalize(docs_as_code_files(spark, sf), prefix_len=64)
-    blocks = exploded_blocks(n, len_band=32).persist()
+    blocks = exploded_blocks(n, len_band=32).transform(scoped_persist)
     return candidate_pairs(blocks, hot_threshold=200, num_salts=4)
 
 
@@ -558,7 +559,7 @@ def q_metablocking_wnp(spark: SparkSession, sf: str) -> DataFrame:
     so the DuckDB twin hash-matches by construction."""
     from levenshtein_spark.operators.metablocking import weighted_node_prune
 
-    pruned = weighted_node_prune(_docs_weighted_pairs(spark, sf).persist())
+    pruned = weighted_node_prune(_docs_weighted_pairs(spark, sf).transform(scoped_persist))
     return pruned.select(
         "id_a", "id_b", F.col("n_keys").cast("long").alias("n_keys")
     )
@@ -569,7 +570,7 @@ def q_metablocking_wep(spark: SparkSession, sf: str) -> DataFrame:
     weight (w * n_edges >= total_weight, exact int64)."""
     from levenshtein_spark.operators.metablocking import weight_edge_prune
 
-    pruned = weight_edge_prune(_docs_weighted_pairs(spark, sf).persist())
+    pruned = weight_edge_prune(_docs_weighted_pairs(spark, sf).transform(scoped_persist))
     return pruned.select(
         "id_a", "id_b", F.col("n_keys").cast("long").alias("n_keys")
     )
@@ -614,7 +615,7 @@ def q_canopy_assign(spark: SparkSession, sf: str) -> DataFrame:
 
     n = normalize(docs_as_code_files(spark, sf), prefix_len=64)
     ids = n.select("id")
-    weighted = _docs_weighted_pairs(spark, sf).persist()
+    weighted = _docs_weighted_pairs(spark, sf).transform(scoped_persist)
     return canopy_assign(
         weighted, ids, t_tight=_CANOPY_TIGHT, t_loose=_CANOPY_LOOSE
     )
@@ -764,7 +765,7 @@ def q_pprl_bloom_match(spark: SparkSession, sf: str) -> DataFrame:
     # persisted: candidate_pairs consumes the blocks lineage ~6 ways (census,
     # hot-key tag, both self-join sides, hot left/right) — same reason every
     # sibling call site persists
-    blocks = _customer_blocks(spark, sf).persist()
+    blocks = _customer_blocks(spark, sf).transform(scoped_persist)
     pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
     fat = attach_pair_payload(pairs, enc, [f"bloom{j}" for j in range(_PPRL_WORDS)])
     inter = _fold_add(
@@ -894,7 +895,7 @@ def q_progressive_pairs(spark: SparkSession, sf: str) -> DataFrame:
     by `linkage_f1`/`blocking_recall_by_family` brute-force twins), and
     the recall denominator is a 1-row broadcast aggregate.
     """
-    blocks = _customer_blocks(spark, sf).persist()
+    blocks = _customer_blocks(spark, sf).transform(scoped_persist)
     cand = candidate_pairs(blocks, hot_threshold=500, num_salts=8).select(
         "id_a", "id_b", F.col("n_keys").cast("long").alias("w")
     )

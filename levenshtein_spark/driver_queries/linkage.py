@@ -23,6 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from levenshtein_spark.session import scoped_persist
 from levenshtein_spark.driver_queries import tbl
 from levenshtein_spark.operators.blocking import exploded_blocks
 from levenshtein_spark.operators.clustering import cluster_labels
@@ -85,7 +86,7 @@ def q_linkage_pairs(spark: SparkSession, sf: str) -> DataFrame:
     materialized checkpoint table, which serves the same purpose.
     """
     n = normalize(docs_as_code_files(spark, sf), prefix_len=_PREFIX)
-    blocks = exploded_blocks(n, len_band=_LEN_BAND).persist()
+    blocks = exploded_blocks(n, len_band=_LEN_BAND).transform(scoped_persist)
     return candidate_pairs(blocks, hot_threshold=200, num_salts=4).select(
         "id_a", "id_b", F.col("n_keys").cast("long").alias("n_keys")
     )
@@ -127,10 +128,10 @@ def _customer_records(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _customer_scored(spark: SparkSession, sf: str) -> DataFrame:
-    blocks = _customer_blocks(spark, sf).persist()
+    blocks = _customer_blocks(spark, sf).transform(scoped_persist)
     # pairs persisted: score_pairs consumes them twice (sha-equal branch ∪
     # fuzzy branch); in the production plan this is the pairs checkpoint.
-    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).persist()
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).transform(scoped_persist)
     fat = attach_pair_payload(
         pairs, _customer_records(spark, sf), ["sha", "path_base", "content_prefix"]
     )
@@ -183,7 +184,7 @@ def q_linkage_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """
     c = tbl(spark, sf, "customer")
     is_delta = F.col("id") % 10 == 0
-    blocks = _customer_blocks(spark, sf).persist()
+    blocks = _customer_blocks(spark, sf).transform(scoped_persist)
     b_base, b_delta = blocks.where(~is_delta), blocks.where(is_delta)
     records = _customer_records(spark, sf)
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from levenshtein_spark.session import scoped_persist
 from levenshtein_spark.driver_queries import tbl
 from levenshtein_spark.operators.media import extract_media_meta
 
@@ -184,7 +185,7 @@ def q_dedup_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
     from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
 
     d = tbl(spark, sf, "documents").select("doc_id", "text")
-    ah = _ahash_table(d).persist()
+    ah = _ahash_table(d).transform(scoped_persist)
     blocks = ah.select(
         F.explode(simhash_segment_keys("ahash", _AH_W * _AH_H, _AH_HAM + 1, 1)).alias(
             "block_key"
@@ -281,7 +282,7 @@ def q_dedup_audio_fp(spark: SparkSession, sf: str) -> DataFrame:
     from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
 
     d = tbl(spark, sf, "documents").select("doc_id", "text")
-    fp = _audio_fp_table(d).persist()
+    fp = _audio_fp_table(d).transform(scoped_persist)
     blocks = fp.select(
         F.explode(simhash_segment_keys("afp", _AF_SEG, _AF_HAM + 1, 1)).alias("block_key"),
         "id",

@@ -29,6 +29,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from levenshtein_spark.session import scoped_persist
+
 
 def global_prefix_sum(
     df: DataFrame,
@@ -72,7 +74,7 @@ def global_prefix_sum(
     # Persist so the offset census and the final plan see the SAME partition
     # cuts (the range partitioner samples; two separate computations could
     # legally choose different boundaries).
-    part = part.persist()
+    part = part.transform(scoped_persist)
     rows = part.groupBy("_pid", *group_cols).agg(
         *[F.sum(vc).alias(f"_s{i}") for i, vc in enumerate(value_cols)]
     ).collect()

@@ -31,6 +31,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from levenshtein_spark.session import scoped_persist
+
 
 def global_rank(
     df: DataFrame, order_cols: list[str], pos_col: str = "pos", num_partitions: int | None = None
@@ -52,7 +54,7 @@ def global_rank(
     # Persist so the offset census and the final plan see the SAME partition
     # cuts (the range partitioner samples; two separate computations could
     # legally choose different boundaries).
-    part = part.persist()
+    part = part.transform(scoped_persist)
     counts = sorted(
         (r["_pid"], r["count"]) for r in part.groupBy("_pid").count().collect()
     )
@@ -89,7 +91,7 @@ def sorted_neighborhood_pairs(
     ranked = (
         global_rank(df, order_cols, num_partitions=num_partitions)
         .select(F.col(id_col).alias("_rid"), "pos")
-        .persist()
+        .transform(scoped_persist)
     )
     bucket = F.floor(F.col("pos") / width)
     left = ranked.select(

@@ -54,6 +54,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Pin the session timezone so NTZ->LTZ casts, unix_timestamp(),
+        # weekly truncation and watermark/session boundaries are host-TZ
+        # independent (the DuckDB oracle twins compute in naive/UTC time).
+        # user.timezone pins the JVM default for code paths that consult it
+        # (e.g. legacy datetime parsing); applied at JVM launch in local mode.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
@@ -61,6 +69,36 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     return builder.getOrCreate()
+
+
+_SCOPED_CACHES: list = []
+
+
+def scoped_persist(df):
+    """``df.persist()`` registered for bulk release.
+
+    Driver queries persist helper stages (MinHash blocks, PQ codebooks,
+    fingerprint tables) that feed multiple plan branches; in a long-lived
+    session those caches would otherwise accumulate (ADVICE r02). Harness
+    code (bench.py, tools/check_correctness.py, tests) calls
+    ``release_caches()`` after materializing each query's result; library
+    users running many queries in one session should do the same.
+    """
+    df = df.persist()
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every scoped cache registered since the last release.
+    Returns the number released. Safe to call at any time — caches are only
+    dropped, never invalidated mid-plan, because callers release AFTER
+    materializing the consuming query."""
+    n = 0
+    while _SCOPED_CACHES:
+        _SCOPED_CACHES.pop().unpersist()
+        n += 1
+    return n
 
 
 def warm_python_workers(spark: SparkSession, partitions: int | None = None) -> None:

@@ -69,6 +69,9 @@ def main() -> int:
             failures.append(name)
             continue
         t_spark = time.perf_counter() - t0
+        from levenshtein_spark.session import release_caches
+
+        release_caches()  # drop this query's scoped helper caches (ADVICE r02)
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows  spark={t_spark:.1f}s")
             if len(sdf) == 0:
