@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from levenshtein_spark.session import scoped_persist
 from levenshtein_spark.driver_queries import tbl
 from levenshtein_spark.functions.vectors import banded_lsh_keys, cosine, dot, lsh_bucket
 
@@ -37,6 +38,25 @@ _B_PLANES = 6
 # (O(N/K) rows) balanced; frozen small here for the static oracle.
 _IVF_K = 16
 _IVF_NPROBE = 4
+# Codebook training (round 3, VERDICT r02 #3): fixed Lloyd's iterations with
+# the exact-parity contract of operators/kmeans.py — the oracle re-derives
+# the SAME trained centroids via an unrolled CTE chain, so no data-dependent
+# constant ever enters the oracle string. Iteration count is frozen (not
+# convergence-tested) precisely so the SQL unrolls statically.
+_KM_ITERS = 2
+_KM_QUANT = 1_000_000
+_DIM = 64
+
+
+def _trained_ivf_cent(e: DataFrame) -> DataFrame:
+    from levenshtein_spark.operators.kmeans import train_centroids
+
+    spark = e.sparkSession
+    rows = train_centroids(
+        e.select("vec_id", "embedding"), "vec_id", "embedding",
+        _IVF_K, dim=_DIM, iters=_KM_ITERS, quant=_KM_QUANT,
+    )
+    return spark.createDataFrame(rows, "cid long, cvec array<double>")
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -134,18 +154,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     to LSH — partition space into K coarse cells around a codebook, search
     only the ``n_probe`` cells nearest each query.
 
-    The codebook here is deterministic (the K lowest vec_ids) instead of
-    k-means so the DuckDB twin reproduces it exactly; swapping in trained
-    centroids changes only the ``cent`` DataFrame. Scale shape: the codebook
-    broadcasts (K rows); cell assignment is a broadcast join + map-side-
-    combining argmax groupBy (the standard O(N·K) quantization cost, no
-    shuffle wider than N rows); the probe step touches n_probe/K of the
-    corpus per query instead of all of it.
+    The codebook is TRAINED (round 3): deterministic Lloyd's k-means seeded
+    from the K lowest vec_ids — operators/kmeans.py's exact-parity trainer,
+    whose integer-sum updates let the DuckDB twin re-derive bit-identical
+    centroids from the same parquet. Scale shape: the codebook broadcasts
+    (K rows); cell assignment is a broadcast join + map-side-combining
+    argmax groupBy (the standard O(N·K) quantization cost, no shuffle wider
+    than N rows); the probe step touches n_probe/K of the corpus per query
+    instead of all of it; training itself is FAISS-style (bounded sample,
+    K×(dim+1) sufficient statistic per iteration).
     """
     e = tbl(spark, sf, "embeddings")
-    cent = e.where(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
+    cent = _trained_ivf_cent(e)
     probes = e.where(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
@@ -246,9 +266,10 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     query-to-codeword partials — the scan reads 4 bytes per vector instead
     of 64 floats (16× compression here; 64-128× at production dims).
 
-    The codebook is deterministic (subvectors of the {_PQ_K} lowest
-    vec_ids) so the twin reproduces it exactly — swapping in k-means
-    centroids changes only the ``cb`` DataFrame. Exactness discipline:
+    The sub-codebooks are TRAINED (round 3): deterministic Lloyd's k-means
+    per subspace, seeded from the {_PQ_K} lowest vec_ids' slices
+    (operators/kmeans.py) — the twin re-derives the same centroids from the
+    same parquet via an unrolled CTE chain. Exactness discipline:
     every dot product is the same left-fold in both engines, the ADC sum
     is parenthesized left-associatively via a 4-way column expression (a
     groupBy sum over the M partials would reorder float addition), and
@@ -272,17 +293,28 @@ def _pq_sub(col, m):
 
 
 def _pq_cb_and_codes(e: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Codebook ``(m, code, cvec)`` (persisted, broadcastable) and per-vector
-    PQ code words ``(vec_id, c0..c{M-1})``. ONE scan each via posexplode over
-    the array of subspace slices (a per-m unionByName would re-scan the
-    source M times)."""
+    """TRAINED codebook ``(m, code, cvec)`` (persisted, broadcastable) and
+    per-vector PQ code words ``(vec_id, c0..c{M-1})``.
+
+    Round 3: each subspace's sub-codebook is Lloyd's-trained
+    (operators/kmeans.py, seeded from the {_PQ_K} lowest vec_ids' slices —
+    the r02 formula codebook is exactly iteration 0), with the integer-sum
+    exact-parity contract so the DuckDB twin re-derives identical centroids.
+    Encoding stays argmax inner product against the (now trained) codebook;
+    the per-vector scan is ONE posexplode over the array of subspace slices
+    (a per-m unionByName would re-scan the source M times)."""
+    from levenshtein_spark.operators.kmeans import train_centroids
+
+    spark = e.sparkSession
+    cb_rows = []
+    for m in range(_PQ_M):
+        sub = e.select("vec_id", _pq_sub(F.col("embedding"), m).alias("sv"))
+        cents = train_centroids(
+            sub, "vec_id", "sv", _PQ_K, dim=_PQ_SUBDIM, iters=_KM_ITERS, quant=_KM_QUANT
+        )
+        cb_rows += [(m, cid, vec) for cid, vec in cents]
+    cb = spark.createDataFrame(cb_rows, "m int, code long, cvec array<double>").transform(scoped_persist)
     all_subs = F.array(*[_pq_sub(F.col("embedding"), m) for m in range(_PQ_M)])
-    cb = (
-        e.where(F.col("vec_id") < _PQ_K)
-        .select(F.col("vec_id").alias("code"), F.posexplode(all_subs).alias("m", "cvec"))
-        .select("m", "code", "cvec")
-        .persist()
-    )
     subs = e.select("vec_id", F.posexplode(all_subs).alias("m", "xv"))
     scored = subs.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "code", dot(F.col("xv"), F.col("cvec")).alias("d")
@@ -336,9 +368,9 @@ def _pq_adc_rank(cand: DataFrame, probes: DataFrame, cb: DataFrame, top_k: int) 
 
 def pq_topk(e: DataFrame, probes: DataFrame, top_k: int) -> DataFrame:
     """PQ-ADC search core (semantics in :func:`q_ann_pq_topk`; factored out
-    so tests can plant near-duplicates): codebook = subvectors of the
-    {_PQ_K} lowest vec_ids of ``e``; exhaustive ADC scan (every vector is a
-    candidate for every query)."""
+    so tests can plant near-duplicates): sub-codebooks Lloyd's-trained,
+    seeded from the {_PQ_K} lowest vec_ids of ``e``; exhaustive ADC scan
+    (every vector is a candidate for every query)."""
     cb, codes_w = _pq_cb_and_codes(e)
     cand = codes_w.join(F.broadcast(probes.select("query_id")), F.lit(True))
     return _pq_adc_rank(cand, probes, cb, top_k)
@@ -360,9 +392,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     is (query, cell-member) pairs carrying only 4 code bytes each.
     """
     e = tbl(spark, sf, "embeddings")
-    cent = e.where(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
+    cent = _trained_ivf_cent(e)
     probes = e.where(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
@@ -442,6 +472,88 @@ def _dd_lsh_bucket(v: str) -> str:
     return _dd_bucket(v, list(range(_PLANES)))
 
 
+def _dd_l2_score(vec: str, cvec: str) -> str:
+    """Mirror of operators.kmeans.l2_score: fixed-order
+    dot(x,c) - 0.5*||c||² (centroids are already DOUBLE lists)."""
+    d = _DD_DOT.format(a=vec, b=cvec)
+    normsq = f"list_sum(list_transform({cvec}, x -> x * x))"
+    return f"(({d}) - (0.5 * ({normsq})))"
+
+
+def _dd_kmeans_ctes(
+    prefix: str, src_sql: str, k: int, dim: int, iters: int = _KM_ITERS, quant: int = _KM_QUANT
+) -> list[str]:
+    """Unrolled Lloyd's k-means as CTE fragments, ending in
+    ``{prefix}_cent{iters}(cid, cvec)`` — the DuckDB twin of
+    operators.kmeans.train_centroids. ``src_sql`` must yield
+    ``(vec_id, v)`` with ``v`` the float vector. Exact parity: quantized
+    BIGINT per-dim sums (order-free), one correctly-rounded divide per
+    centroid value, L2 argmin with ties to the lower cid, empty cells carry
+    the previous centroid."""
+    ctes = [f"{prefix}_src AS ({src_sql})"]
+    ctes.append(
+        f"{prefix}_xq AS (SELECT vec_id, v, "
+        f"list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * {quant}.0) AS BIGINT)) AS q "
+        f"FROM {prefix}_src)"
+    )
+    ctes.append(
+        f"{prefix}_cent0 AS (SELECT vec_id AS cid, "
+        f"list_transform(v, x -> CAST(x AS DOUBLE)) AS cvec "
+        f"FROM {prefix}_src WHERE vec_id < {k})"
+    )
+    for t in range(1, iters + 1):
+        prev = f"{prefix}_cent{t - 1}"
+        score = _dd_l2_score("e.v", "c.cvec")
+        ctes.append(
+            f"""{prefix}_a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {score} DESC, c.cid) AS rn
+    FROM {prefix}_xq e CROSS JOIN {prev} c) s WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""{prefix}_u{t} AS (
+  SELECT a.cell, r.i AS dim, sum(e.q[r.i]) AS s, count(*) AS n
+  FROM {prefix}_a{t} a JOIN {prefix}_xq e USING (vec_id), UNNEST(range(1, {dim + 1})) AS r(i)
+  GROUP BY a.cell, r.i)"""
+        )
+        ctes.append(
+            f"""{prefix}_w{t} AS (
+  SELECT cell AS cid, list(CAST(s AS DOUBLE) / CAST(n * {quant} AS DOUBLE) ORDER BY dim) AS cvec
+  FROM {prefix}_u{t} GROUP BY cell)"""
+        )
+        ctes.append(
+            f"""{prefix}_cent{t} AS (
+  SELECT p.cid, COALESCE(w.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN {prefix}_w{t} w ON w.cid = p.cid)"""
+        )
+    return ctes
+
+
+_DD_IVF_CENT = ",\n".join(
+    _dd_kmeans_ctes("ivfkm", "SELECT vec_id, embedding AS v FROM embeddings", _IVF_K, _DIM)
+) + f",\ncent AS (SELECT cid, cvec FROM ivfkm_cent{_KM_ITERS})"
+
+
+def _dd_pq_cb_ctes() -> str:
+    """CTE fragments training the {_PQ_M} sub-codebooks + the final ``cb``."""
+    parts = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, m * _PQ_SUBDIM + _PQ_SUBDIM
+        parts += _dd_kmeans_ctes(
+            f"pqkm{m}",
+            f"SELECT vec_id, embedding[{lo}:{hi}] AS v FROM embeddings",
+            _PQ_K,
+            _PQ_SUBDIM,
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {m} AS m, cid AS code, cvec FROM pqkm{m}_cent{_KM_ITERS}"
+        for m in range(_PQ_M)
+    )
+    parts.append(f"cb AS ({union})")
+    return ",\n".join(parts)
+
+
 def _dd_banded_keys_sql() -> str:
     """UNION ALL of (vec_id, block_key) per banded-LSH table — mirror of
     banded_lsh_keys(embedding, {_B_TABLES}, {_B_PLANES}, seed=0)."""
@@ -505,9 +617,7 @@ ranked AS (
 SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn = 1
 """,
     "ann_ivf_topk": f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_K}
-),
+WITH {_DD_IVF_CENT},
 assign AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cid AS cell,
@@ -569,11 +679,7 @@ _DD_PQ_DOT = _DD_DOT  # same left-fold dot as every other vector twin
 
 ORACLES["ann_pq_topk"] = f"""
 WITH ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
-cb AS (
-  SELECT ms.m AS m, vec_id AS code,
-         embedding[ms.m * {_PQ_SUBDIM} + 1 : ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS cvec
-  FROM embeddings, ms WHERE vec_id < {_PQ_K}
-),
+{_dd_pq_cb_ctes()},
 subs AS (
   SELECT vec_id, ms.m AS m,
          embedding[ms.m * {_PQ_SUBDIM} + 1 : ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS xv
@@ -624,11 +730,7 @@ WHERE rank <= {_TOP_K}
 
 ORACLES["ann_ivfpq_topk"] = f"""
 WITH ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
-cb AS (
-  SELECT ms.m AS m, vec_id AS code,
-         embedding[ms.m * {_PQ_SUBDIM} + 1 : ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS cvec
-  FROM embeddings, ms WHERE vec_id < {_PQ_K}
-),
+{_dd_pq_cb_ctes()},
 subs AS (
   SELECT vec_id, ms.m AS m,
          embedding[ms.m * {_PQ_SUBDIM} + 1 : ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS xv
@@ -649,9 +751,7 @@ codes_w AS (
          {", ".join(f"max(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(_PQ_M))}
   FROM codes GROUP BY vec_id
 ),
-cent AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_K}
-),
+{_DD_IVF_CENT},
 assign AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cid AS cell,
