@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from levenshtein_spark.session import scoped_persist
 from levenshtein_spark.driver_queries import tbl
 from levenshtein_spark.functions.hashing import (
     hamming64,
@@ -33,7 +34,12 @@ from levenshtein_spark.operators.pairs import (
 _NUM_HASHES = 8
 _BANDS = 4
 _HAM_MAX = 8
-_NGRAM_BAND = 64
+# char-3-gram MinHash-LSH banding for dedup_ngram_jaccard: r=2 rows/band so
+# P(candidate | Jaccard s) = 1-(1-s^2)^6 — ~0.83 at the 0.5 verify threshold,
+# >0.996 at s>=0.8; more bands than the word-bigram family because this
+# query's threshold is lower.
+_NGRAM_HASHES = 12
+_NGRAM_BANDS = 6
 
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -72,7 +78,7 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     blocks = (
         _doc_band_keys(d)
         .select(F.col("band_key").alias("block_key"), F.col("doc_id").alias("id"))
-        .persist()
+        .transform(scoped_persist)
     )
     pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
     grams = d.select(
@@ -120,7 +126,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     # persisted: consumed by the blocks self-join (census + both sides) and
     # again as the per-id fingerprint payload; simhash is costly to recompute
-    sh = simhash_table(d, "doc_id", word_tokens(F.col("text"))).persist()
+    sh = simhash_table(d, "doc_id", word_tokens(F.col("text"))).transform(scoped_persist)
     blocks = sh.select(
         F.explode(simhash_segment_keys("simhash", 60, _HAM_MAX + 1, 1)).alias("block_key"),
         "id",
@@ -135,21 +141,32 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Character-3-gram Jaccard >= 0.5 within (lang, length-band) blocks.
+    """Character-3-gram Jaccard >= 0.5: MinHash-LSH recall + exact verify.
 
-    Slim-pair discipline (operators/pairs.py): the self-join shuffles only
-    (block_key, id) — never the gram arrays — and hot (lang, band) blocks
-    route through the lossless triangle-salted join. The 3-gram sets are
-    attached per id *after* pair dedup, so each id's array crosses the wire
-    once per pair side instead of riding every block-join shuffle.
+    Round-3 rebuild (VERDICT r02 #1): the old candidate stage blocked on
+    (lang, floor(n_chars/64)) — a key that ignores content entirely, so a
+    same-language similar-length corpus slice (i.e. most of a web crawl)
+    degenerated into one O(B²) blocked self-join that salting could spread
+    but never shrink. Candidates now come from MinHash-LSH band keys over
+    the SAME distinct char-3-gram sets the verify stage uses (the
+    dedup_tfidf template: LSH recall stage, exact verify stage), so the
+    candidate mass tracks content similarity instead of corpus shape — the
+    set-level analogue of the reference's cheap-necessary-condition
+    pre-exits (src/prealgorithm.h:77-86). Banding is (b=6, r=2); the DuckDB
+    twin regenerates the identical band keys, so the oracle certifies the
+    candidate universe AND the verify math.
+
+    Slim-pair discipline (operators/pairs.py): the band self-join shuffles
+    only (block_key, id) — never the gram arrays — and hot band keys (a
+    mass-duplicated doc) route through the lossless triangle-salted join.
+    The 3-gram sets are attached per id *after* pair dedup, so each id's
+    array crosses the wire once per pair side instead of riding every
+    block-join shuffle.
     """
     d = tbl(spark, sf, "documents")
-    blocks = d.select(
-        F.concat_ws(
-            "|", F.lit("ng"), F.col("lang"), F.floor(F.col("n_chars") / _NGRAM_BAND).cast("string")
-        ).alias("block_key"),
-        F.col("doc_id").alias("id"),
-    )
+    blocks = minhash_band_table(
+        d, "doc_id", char_shingles(F.col("text"), 3), _NGRAM_HASHES, _NGRAM_BANDS
+    ).select(F.col("band_key").alias("block_key"), "id")
     pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
     grams = d.select(F.col("doc_id").alias("id"), char_shingles(F.col("text"), 3).alias("g"))
     fat = attach_pair_payload(pairs, grams, ["g"])
@@ -208,7 +225,7 @@ def q_dedup_tfidf(spark: SparkSession, sf: str) -> DataFrame:
         / (F.col("df").cast("double") + F.lit(0.5))
     ).cast("long")
     # persisted: feeds the norm aggregation AND both sides of the dot join
-    w = tf.join(dfs, "tok").select("id", "tok", (F.col("tf") * idf_q).alias("w")).persist()
+    w = tf.join(dfs, "tok").select("id", "tok", (F.col("tf") * idf_q).alias("w")).transform(scoped_persist)
     norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     blocks = _doc_band_keys(d).select(
         F.col("band_key").alias("block_key"), F.col("doc_id").alias("id")
@@ -258,21 +275,67 @@ def q_dedup_prefix(spark: SparkSession, sf: str) -> DataFrame:
     which B emits — so every true containment survives blocking; the
     equi-join candidates are then verified exactly with startswith. Hot
     keys (a mass-truncated page) route through the bipartite salted join.
+
+    Round-3 second content key (VERDICT r02 #6): a corpus-wide shared
+    32-char boilerplate header (license banner, HTML preamble) used to
+    concentrate every long doc into one L=32 block with REAL bipartite
+    fan-out (salting spreads it, cannot shrink it). Prefix-side docs with
+    len >= 2·32 now key on ("p2", first 32 chars, md5(chars 33..64))
+    instead — lossless, because a true containment pair with len_A >= 64
+    forces len_B > 64 and byte equality on chars 33..64, so B's single
+    extra p2 key matches. The plain-prefix ("p1") family now carries only
+    prefix-side docs SHORTER than 64 chars, so the boilerplate block's
+    prefix side is bounded by the short-doc count, not the corpus.
     """
-    d = tbl(spark, sf, "documents")
+    return prefix_containment_pairs(tbl(spark, sf, "documents"))
+
+
+def prefix_containment_blocks(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(a_blocks, b_blocks) of the containment join — factored out so tests
+    can census planted-boilerplate corpora (semantics in
+    :func:`q_dedup_prefix`). ``d`` must carry (doc_id, text)."""
     base = d.select(
         F.col("doc_id").alias("id"), "text", F.length("text").cast("long").alias("len")
     )
-    a_blocks = base.select(F.substring("text", 1, _PFX_KEY).alias("block_key"), "id")
-    b_blocks = base.select(
+    second_key = F.md5(F.substring("text", _PFX_KEY + 1, _PFX_KEY))
+    a_blocks = base.select(
+        F.when(
+            F.col("len") >= 2 * _PFX_KEY,
+            F.concat_ws(
+                "|", F.lit("p2"), F.substring("text", 1, _PFX_KEY), second_key
+            ),
+        )
+        .otherwise(F.concat(F.lit("p1|"), F.substring("text", 1, _PFX_KEY)))
+        .alias("block_key"),
+        "id",
+    )
+    b_p1 = base.select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.least(F.col("len"), F.lit(_PFX_KEY))),
-                lambda length: F.substr(F.col("text"), F.lit(1), length),
+                lambda length: F.concat(
+                    F.lit("p1|"), F.substr(F.col("text"), F.lit(1), length)
+                ),
             )
         ).alias("block_key"),
         "id",
     )
+    b_p2 = base.where(F.col("len") >= 2 * _PFX_KEY).select(
+        F.concat_ws(
+            "|", F.lit("p2"), F.substring("text", 1, _PFX_KEY), second_key
+        ).alias("block_key"),
+        "id",
+    )
+    return a_blocks, b_p1.unionByName(b_p2)
+
+
+def prefix_containment_pairs(d: DataFrame) -> DataFrame:
+    """Verified containment pairs over :func:`prefix_containment_blocks`
+    (semantics in :func:`q_dedup_prefix`)."""
+    base = d.select(
+        F.col("doc_id").alias("id"), "text", F.length("text").cast("long").alias("len")
+    )
+    a_blocks, b_blocks = prefix_containment_blocks(d)
     pairs = candidate_pairs_lr(a_blocks, b_blocks, hot_threshold=500, num_salts=8).where(
         F.col("id_l") != F.col("id_r")
     )
@@ -380,6 +443,54 @@ def q_dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "span_start", "span_end", "n_windows")
 
 
+_SUB_WIDTHS = (4, 8)  # multi-width pass: 4 lowers the detection floor
+
+
+def q_dedup_substring_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated REGIONS at widths {4, 8} (round 3, VERDICT r02 #5): the
+    fixed width-8 window makes sub-8-token verbatim repeats — short
+    license lines, sign-offs, boilerplate sentences — invisible, because a
+    window can only match if all 8 tokens match. A second width-4 pass
+    lowers the detection floor to 4 tokens while keeping the
+    distinct-projection support-count shape (each width is the same
+    O(total_tokens) linear scan; no quadratic step). Output is one row per
+    (width, doc, island): the width-8 rows are exactly
+    ``dedup_substring_spans``; the width-4 rows add the shorter repeats
+    plus wider islands around the long ones (a 10-token repeat is 3
+    width-8 windows but 7 width-4 windows).
+    """
+    return substring_spans_multi(tbl(spark, sf, "documents"), _SUB_WIDTHS)
+
+
+def substring_spans_multi(d: DataFrame, widths=_SUB_WIDTHS) -> DataFrame:
+    """Multi-width islands core (semantics in :func:`q_dedup_substring_multi`;
+    factored out so tests can plant short repeats)."""
+    outs = []
+    for width in widths:
+        spans = substring_spans(d, width=width).select("doc_id", "pos")
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        isl = spans.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        outs.append(
+            isl.groupBy("doc_id", "grp")
+            .agg(
+                F.min("pos").alias("span_start"),
+                (F.max("pos") + (width - 1)).alias("span_end"),
+                F.count(F.lit(1)).cast("long").alias("n_windows"),
+            )
+            .select(
+                F.lit(width).cast("long").alias("width"),
+                "doc_id",
+                "span_start",
+                "span_end",
+                "n_windows",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -390,6 +501,7 @@ QUERIES = {
     "dedup_prefix": q_dedup_prefix,
     "dedup_substring": q_dedup_substring,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_substring_multi": q_dedup_substring_multi,
 }
 
 
@@ -405,19 +517,24 @@ list_transform(
 """
 
 
-def _dd_minhash_keys_sql() -> str:
-    rows = _NUM_HASHES // _BANDS
+def _dd_minhash_keys_sql(
+    grams_sql: str | None = None, num_hashes: int = _NUM_HASHES, bands: int = _BANDS
+) -> str:
+    """DuckDB twin of functions.hashing.minhash_band_table over any grams
+    expression (defaults to the word-bigram family of dedup_minhash)."""
+    grams_sql = grams_sql if grams_sql is not None else _DD_BIGRAMS
+    rows = num_hashes // bands
     slots = [
         f"list_min(list_transform(g, t -> (('0x' || substr(md5(concat('{i}', chr(31), t)), 1, 15))::BIGINT)))"
-        for i in range(_NUM_HASHES)
+        for i in range(num_hashes)
     ]
     keys = []
-    for b in range(_BANDS):
+    for b in range(bands):
         part = slots[b * rows : (b + 1) * rows]
         joined = " || '_' || ".join(f"CAST({s} AS VARCHAR)" for s in part)
         keys.append(f"'b{b}:' || md5({joined})")
     selects = [
-        f"SELECT doc_id, {k} AS band_key FROM (SELECT doc_id, {_DD_BIGRAMS} AS g FROM documents) t"
+        f"SELECT doc_id, {k} AS band_key FROM (SELECT doc_id, {grams_sql} AS g FROM documents) t"
         for k in keys
     ]
     return "\nUNION ALL\n".join(selects)
@@ -527,18 +644,23 @@ JOIN norms nb ON nb.doc_id = d.doc_b
 WHERE round(CAST(d.dot AS DOUBLE) /
             (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= {_TFIDF_P}
 """,
+    # candidate universe = the same char-3-gram MinHash band keys the Spark
+    # side generates (b=6, r=2), then the exact distinct-3-gram Jaccard verify
     "dedup_ngram_jaccard": f"""
-WITH g AS (
-  SELECT doc_id, lang, CAST(floor(n_chars / {_NGRAM_BAND}) AS BIGINT) AS band,
-         {_DD_SHINGLES} AS g
-  FROM documents
-)
-SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
-       round(len(list_intersect(l.g, r.g)) * 1.0 /
-             (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))), 6) AS jaccard
-FROM g l JOIN g r ON l.lang = r.lang AND l.band = r.band AND l.doc_id < r.doc_id
-WHERE round(len(list_intersect(l.g, r.g)) * 1.0 /
-            (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))), 6) >= 0.5
+WITH keys AS ({_dd_minhash_keys_sql(_DD_SHINGLES, _NGRAM_HASHES, _NGRAM_BANDS)}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM keys l JOIN keys r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+g AS (SELECT doc_id, {_DD_SHINGLES} AS g FROM documents)
+SELECT p.doc_a, p.doc_b,
+       round(len(list_intersect(a.g, b.g)) * 1.0 /
+             (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+FROM pairs p
+JOIN g a ON a.doc_id = p.doc_a
+JOIN g b ON b.doc_id = p.doc_b
+WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+            (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) >= 0.5
 """,
     "dedup_substring": f"""
 WITH t AS (SELECT doc_id, {_DD_TOKENS} AS toks FROM documents),
@@ -578,6 +700,41 @@ SELECT doc_id, min(pos) AS span_start,
 FROM isl GROUP BY doc_id, grp
 """,
 }
+
+
+def _dd_spans_width_sql(width: int) -> str:
+    return f"""
+SELECT CAST({width} AS BIGINT) AS width, doc_id, min(pos) AS span_start,
+       max(pos) + {width - 1} AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM (
+    SELECT w.doc_id, w.pos FROM (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(array_to_string(toks[pos:pos + {width - 1}], ' ')) AS gram_md5
+      FROM (SELECT doc_id, {_DD_TOKENS} AS toks FROM documents) t,
+           UNNEST(generate_series(1, len(toks) - {width - 1})) AS s(pos)
+      WHERE len(toks) >= {width}
+    ) w
+    JOIN (
+      SELECT gram_md5 FROM (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               md5(array_to_string(toks[pos:pos + {width - 1}], ' ')) AS gram_md5
+        FROM (SELECT doc_id, {_DD_TOKENS} AS toks FROM documents) t,
+             UNNEST(generate_series(1, len(toks) - {width - 1})) AS s(pos)
+        WHERE len(toks) >= {width}
+      ) GROUP BY gram_md5 HAVING count(DISTINCT doc_id) >= 2
+    ) sup USING (gram_md5)
+  ) dup
+) isl GROUP BY doc_id, grp
+"""
+
+
+ORACLES["dedup_substring_multi"] = "\nUNION ALL\n".join(
+    _dd_spans_width_sql(w) for w in _SUB_WIDTHS
+)
 
 
 _CANON_J = 0.8  # collapse threshold: verified near-dups this similar merge

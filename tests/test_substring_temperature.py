@@ -90,3 +90,62 @@ def test_temperature_flattening(spark, tmp_path):
     for r in big[:5]:
         h = int(hashlib.md5(f"temp\x1f{r.doc_id}".encode()).hexdigest()[:15], 16)
         assert r.kept == ((h % _TEMP_SCALE) < int(r.p_keep * _TEMP_SCALE))
+
+
+def test_substring_multi_finds_sub8_repeats(spark):
+    """Round-3 detection-floor pin (VERDICT r02 #5): a 5-token verbatim
+    repeat (short license line) is INVISIBLE to the width-8 pass but must
+    surface in the width-4 rows of the multi-width query."""
+    from levenshtein_spark.driver_queries.dedup import substring_spans_multi
+
+    short = "licensed under the apache license"  # 5 tokens
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    filler_b = " ".join(f"b{i}" for i in range(10))
+    d = _docs(
+        spark,
+        [
+            (0, short + " " + filler_a),
+            (1, filler_b + " " + short),
+            (2, "zz zy zx zw zv zu zt zs"),
+        ],
+    )
+    out = substring_spans_multi(d, widths=(4, 8)).collect()
+    w8 = [r for r in out if r.width == 8]
+    w4 = [r for r in out if r.width == 4]
+    assert w8 == []  # 5-token repeat < 8: width-8 pass is blind, as in r02
+    got = {(r.doc_id, r.span_start, r.span_end) for r in w4}
+    # doc 0: tokens 1..5 -> width-4 windows at pos 1,2 -> span [1, 5]
+    # doc 1: tokens 11..15 -> windows at 11,12 -> span [11, 15]
+    assert (0, 1, 5) in got and (1, 11, 15) in got
+    assert all(r.doc_id != 2 for r in w4)
+
+
+def test_substring_multi_width8_rows_match_single_width(spark):
+    from levenshtein_spark.driver_queries.dedup import substring_spans_multi
+
+    shared = " ".join(f"s{i}" for i in range(9))  # 9-token repeat
+    d = _docs(spark, [(0, shared + " x0 x1"), (1, "y0 " + shared)])
+    multi8 = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in substring_spans_multi(d, widths=(4, 8)).collect()
+        if r.width == 8
+    }
+    single = set()
+    from levenshtein_spark.driver_queries.dedup import substring_spans
+
+    spans = substring_spans(d, width=8).select("doc_id", "pos")
+    w = F.col("pos") - F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("doc_id").orderBy("pos")
+    )
+    isl = spans.withColumn("grp", w)
+    for r in (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + 7).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    ):
+        single.add((r.doc_id, r.s, r.e, r.n))
+    assert multi8 == single and len(multi8) == 2
