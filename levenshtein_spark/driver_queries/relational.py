@@ -181,10 +181,13 @@ def q_similarity_join_docs(spark: SparkSession, sf: str) -> DataFrame:
     document pairs whose {_SIM_PLEN}-char prefixes have Levenshtein
     similarity >= {_SIM_P}.
 
-    Candidates come from the lossless log-length banding + salted slim-pair
-    operator (operators/simjoin.py); the per-pair cap is the reference's
-    similarity-to-max-edits conversion k = floor((1-p)*max_len)
-    (src/similarity_t.cpp:56-58), so exceeding pairs never run a full DP.
+    Candidates come from the lossless band ∪ rarest-2-gram-prefix blocking
+    (operators/simjoin.py, round-3 rebuild — on this fixed-width-prefix
+    corpus pure length banding is one giant band; the content-keyed prefix
+    family replaces it for every string past the boundary length); the
+    per-pair cap is the reference's similarity-to-max-edits conversion
+    k = floor((1-p)*max_len) (src/similarity_t.cpp:56-58), so exceeding
+    pairs never run a full DP.
     The Levenshtein (non-transposition) kernel keeps the DuckDB twin exact;
     the OSA variant is the operator's default (`similarity_t`).
     """
@@ -206,7 +209,8 @@ def q_similarity_join_docs(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     out = similarity_self_join(
-        d, "ptext", _SIM_P, sim_fn=lev_sim, hot_threshold=500, num_salts=8
+        d, "ptext", _SIM_P, sim_fn=lev_sim, q=2, transpositions=False,
+        hot_threshold=500, num_salts=8,
     )
     return out.select(
         F.col("id_a").alias("doc_a"),

@@ -12,9 +12,12 @@ floor(x) <= 1``), so the pair shares >= 1 key; pairs that only *might*
 qualify are verified with the exact kernel, so the join equals the
 brute-force ``WHERE sim >= p`` result exactly.
 
-Uniform-length corpora degrade to one giant band — which is why candidates
-run through the hot-block-salted ``candidate_pairs`` operator rather than a
-raw self-join (the same discipline as every other blocked family here).
+Uniform-length corpora make pure length banding vacuous (one giant band), so
+``similarity_self_join`` unions the bands with a content-aware rarest-q-gram
+prefix family for strings past ``similarity_prefix_boundary`` — still
+lossless (see its docstring) — and every candidate family runs through the
+hot-block-salted ``candidate_pairs`` operator rather than a raw self-join
+(the same discipline as every other blocked family here).
 """
 
 from __future__ import annotations
@@ -45,18 +48,65 @@ def log_length_bands(length: Column, p: float) -> Column:
     )
 
 
+def similarity_prefix_boundary(p: float, q: int, transpositions: bool) -> int | None:
+    """Smallest length at which the q-gram prefix filter is sound AND
+    meaningful for ``sim >= p`` pairs, or None when it never is.
+
+    Per-edit gram damage is ``D`` (q, or q+1 with transpositions). For a
+    valid pair the cap is ``k = floor((1-p)·max_len)``, so the required
+    positional-gram overlap is ``max_len - q + 1 - k·D >= max_len·(1-(1-p)D)
+    - q + 1`` — positive for every pair whose longer side is at least
+    ``q / (1 - (1-p)·D)`` long, provided ``(1-p)·D < 1``. Below that length
+    (or when the proviso fails, i.e. p too low for this q) the filter is
+    vacuous and length banding must carry the pair.
+    """
+    damage = (q + 1) if transpositions else q
+    slack = 1.0 - (1.0 - p) * damage
+    if slack <= 0.0:
+        return None
+    # +1 absorbs float rounding; a larger boundary only adds band keys
+    return max(q, int(math.ceil(q / slack)) + 1)
+
+
 def similarity_self_join(
     records: DataFrame,
     text_col: str,
     p: float,
     id_col: str = "id",
     sim_fn=None,
+    q: int = 2,
+    transpositions: bool = True,
     hot_threshold: int = 2000,
     num_salts: int = 16,
 ) -> DataFrame:
     """All pairs with ``sim_fn(text_a, text_b) >= p`` (default: the
-    reference OSA ``similarity_t``), via lossless log-length banding + the
-    salted slim-pair operator. Output: ``(id_a, id_b, sim)``.
+    reference OSA ``similarity_t``), via lossless content-aware blocking +
+    the salted slim-pair operator. Output: ``(id_a, id_b, sim)``.
+
+    Round-3 rebuild (VERDICT r02 #2): pure log-length banding degrades to
+    one giant band on uniform-length corpora (fixed-width prefixes — this
+    engine's main target). Candidates are now the union of two lossless key
+    families, split by a length boundary ``L* = similarity_prefix_boundary``:
+
+    * **length < ceil(L*/p) + 1** → log-ratio length bands (as before);
+    * **length >= L*** → the Ed-Join rarest-q-gram prefix: the per-pair cap
+      is ``k = floor((1-p)·max_len)`` (src/similarity_t.cpp:56-58); keeping
+      each string's ``floor((1-p)·D·len) + 1`` rarest grams covers both the
+      longer-side role (k·D+1 exactly) and the shorter-side role (the
+      unequal-length prefix lemma — see the inline derivation) of every
+      valid pair (count-filter lemma, per-edit damage D).
+
+    Coverage is exhaustive: a pair whose shorter side is below L* has its
+    longer side below L*/p (the ratio bound), so both sides carry band
+    keys; a pair whose shorter side is >= L* has both sides in gram mode
+    with guaranteed positive required overlap. Strings in the overlap
+    window [L*, L*/p) emit both families. When ``(1-p)·D >= 1`` (p too low
+    for the chosen q) the operator falls back to pure banding.
+
+    Unit caveat (shared with edit_distance_self_join): grams are char-based
+    while the kernel counts byte edits — identical on ASCII; on multi-byte
+    text the damage bound D holds per *char-level* edit, so the filter
+    stays lossless whenever one byte edit perturbs at most one char.
     """
     if sim_fn is None:
         from levenshtein_spark.functions.distance import similarity_t
@@ -64,15 +114,7 @@ def similarity_self_join(
         def sim_fn(a, b):  # noqa: F811 - default binding
             return similarity_t(a, b, p)
 
-    # byte length, not char length: the kernel and the similarity formula
-    # are byte-based (ReadMe.md:50-51), and the ratio bound must hold in
-    # the same unit the distance is measured in
-    slim = records.select(
-        F.col(id_col).alias("id"), F.octet_length(F.col(text_col)).alias("__len")
-    )
-    blocks = slim.select(
-        F.explode(log_length_bands(F.col("__len"), p)).alias("block_key"), "id"
-    )
+    blocks = similarity_candidate_blocks(records, text_col, p, id_col, q, transpositions)
     pairs = candidate_pairs(blocks, hot_threshold, num_salts).drop("n_keys")
     fat = attach_pair_payload(
         pairs, records.select(F.col(id_col).alias("id"), text_col), [text_col]
@@ -82,6 +124,68 @@ def similarity_self_join(
         "id_b",
         sim_fn(f"{text_col}_a", f"{text_col}_b").alias("sim"),
     ).where(F.col("sim") >= p)
+
+
+def similarity_candidate_blocks(
+    records: DataFrame,
+    text_col: str,
+    p: float,
+    id_col: str = "id",
+    q: int = 2,
+    transpositions: bool = True,
+) -> DataFrame:
+    """The (block_key, id) rows behind :func:`similarity_self_join` —
+    factored out so tests/benches can census candidate mass on adversarial
+    (uniform-length) corpora."""
+    # byte length, not char length: the kernel and the similarity formula
+    # are byte-based (ReadMe.md:50-51), and the ratio bound must hold in
+    # the same unit the distance is measured in
+    slim = records.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+        F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).alias("__len"),
+    )
+    l_star = similarity_prefix_boundary(p, q, transpositions)
+    if l_star is None:
+        blocks = slim.select(
+            F.explode(log_length_bands(F.col("__len"), p)).alias("block_key"), "id"
+        )
+    else:
+        damage = (q + 1) if transpositions else q
+        band_below = int(math.ceil(l_star / p)) + 1
+        band_keys = slim.where(F.col("__len") < band_below).select(
+            F.explode(log_length_bands(F.col("__len"), p)).alias("block_key"), "id"
+        )
+        # Per-string worst-case prefix over every role in a valid pair.
+        # As the longer side: required prefix = k·D + 1 = floor((1-p)·len)·D
+        # + 1 <= (1-p)·len·D + 1.  As the shorter side vs a longer t: the
+        # unequal-prefix lemma needs |G_s| - |G_t| + k·D + 1 = len_s - len_t
+        # + floor((1-p)·len_t)·D + 1, which (for (1-p)·D < 1, guaranteed
+        # here) is maximized at len_t = len_s and is <= (1-p)·len_s·D + 1.
+        # So floor((1-p)·D·len + eps) + 1 covers both roles; epsilon guards
+        # the floor against a low-rounded exact boundary (longer prefixes
+        # are always safe, shorter ones are not).
+        prefix_len = (
+            F.floor(
+                F.col("__len").cast("double") * F.lit((1.0 - p) * damage) + F.lit(1e-9)
+            ).cast("long")
+            + 1
+        )
+        gram_side = slim.where(F.col("__len") >= l_star)
+        grams = gram_side.select(
+            "id", prefix_len.alias("__plen"),
+            F.explode(_positional_qgrams(F.col("__t"), q)).alias("g"),
+        )
+        census = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__freq"))
+        ranked = grams.join(census, "g").withColumn(
+            "__r",
+            F.row_number().over(Window.partitionBy("id").orderBy("__freq", "g")),
+        )
+        gram_keys = ranked.where(F.col("__r") <= F.col("__plen")).select(
+            F.concat(F.lit("sg|"), F.col("g")).alias("block_key"), "id"
+        )
+        blocks = band_keys.unionByName(gram_keys)
+    return blocks
 
 
 def _positional_qgrams(text: Column, q: int) -> Column:
