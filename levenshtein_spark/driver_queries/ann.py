@@ -423,6 +423,51 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return _pq_adc_rank(cand, probes, cb, _TOP_K)
 
 
+_CELL_SAMPLE_R = 5
+
+
+def q_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space cluster assignment: every vector's trained k-means
+    cell (the IVF coarse quantizer exposed as a first-class operator —
+    beyond the reference's scalar surface, a training-data-pipeline need:
+    cluster ids drive balanced sampling, domain discovery and per-cluster
+    dedup budgets).
+
+    Scale shape: training is FAISS-style (operators/kmeans.py — bounded
+    sample + K×(dim+1) sufficient statistic per iteration); assignment is
+    one broadcast crossJoin + map-side ``max(struct)`` argmax, O(N·K·d)
+    flops with no shuffle wider than N rows. The DuckDB twin re-derives the
+    SAME centroids via the unrolled Lloyd's CTE chain, then replays the
+    identical fixed-order L2 argmin.
+    """
+    from levenshtein_spark.operators.kmeans import assign_cells
+
+    e = tbl(spark, sf, "embeddings")
+    cent = _trained_ivf_cent(e)
+    return assign_cells(e, cent, "vec_id", "embedding").select("vec_id", "cell")
+
+
+def q_kmeans_cell_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced sampling: {_CELL_SAMPLE_R} vectors per trained
+    k-means cell, picked by deterministic hash order (md5 of the id — the
+    repo's standard seedable shuffle). The curation counterpart of
+    ``sample_stratified``: balancing on LEARNED embedding cells instead of
+    a metadata column counters majority-domain dominance in pretraining
+    mixes. Compiles to the WindowGroupLimit shape (rank-k per group is
+    pushed before the final sort at every partition), so no cell's full
+    membership ever sorts globally.
+    """
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        q_kmeans_cells(spark, sf)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _CELL_SAMPLE_R)
+        .select("cell", "vec_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -432,6 +477,8 @@ QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "dedup_embedding": q_dedup_embedding,
+    "kmeans_cells": q_kmeans_cells,
+    "kmeans_cell_sample": q_kmeans_cell_sample,
 }
 
 # -- DuckDB twins -------------------------------------------------------------
@@ -799,4 +846,33 @@ FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY round(adc, 6) DESC, neighbor_id) AS rank
   FROM cand) t
 WHERE rank <= {_TOP_K}
+"""
+
+
+# Final assignment with the trained centroids — one more round of the same
+# fixed-order L2 argmin the training CTEs use (ties to the lower cid).
+_DD_KM_FINAL_ASSIGN = f"""
+final_assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_dd_l2_score("e.v", "c.cvec")} DESC, c.cid) AS rn
+    FROM ivfkm_xq e CROSS JOIN cent c) s WHERE rn = 1)
+"""
+
+ORACLES["kmeans_cells"] = f"""
+WITH {_DD_IVF_CENT},
+{_DD_KM_FINAL_ASSIGN}
+SELECT vec_id, cell FROM final_assign
+"""
+
+ORACLES["kmeans_cell_sample"] = f"""
+WITH {_DD_IVF_CENT},
+{_DD_KM_FINAL_ASSIGN}
+SELECT cell, vec_id, rk FROM (
+  SELECT cell, vec_id,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM final_assign) t
+WHERE rk <= {_CELL_SAMPLE_R}
 """
