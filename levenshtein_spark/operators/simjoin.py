@@ -76,6 +76,7 @@ def similarity_self_join(
     sim_fn=None,
     q: int = 2,
     transpositions: bool = True,
+    family: str = "auto",
     hot_threshold: int = 2000,
     num_salts: int = 16,
 ) -> DataFrame:
@@ -114,7 +115,9 @@ def similarity_self_join(
         def sim_fn(a, b):  # noqa: F811 - default binding
             return similarity_t(a, b, p)
 
-    blocks = similarity_candidate_blocks(records, text_col, p, id_col, q, transpositions)
+    blocks = similarity_candidate_blocks(
+        records, text_col, p, id_col, q, transpositions, family
+    )
     pairs = candidate_pairs(blocks, hot_threshold, num_salts).drop("n_keys")
     fat = attach_pair_payload(
         pairs, records.select(F.col(id_col).alias("id"), text_col), [text_col]
@@ -126,6 +129,18 @@ def similarity_self_join(
     ).where(F.col("sim") >= p)
 
 
+def _key_mass(blocks: DataFrame) -> int:
+    """Σ_key C(n, 2) — the candidate mass a blocked self-join on these keys
+    would generate (one aggregate, one scalar to the driver)."""
+    row = (
+        blocks.groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("m"))
+        .collect()[0]
+    )
+    return int(row["m"] or 0)
+
+
 def similarity_candidate_blocks(
     records: DataFrame,
     text_col: str,
@@ -133,10 +148,33 @@ def similarity_candidate_blocks(
     id_col: str = "id",
     q: int = 2,
     transpositions: bool = True,
+    family: str = "auto",
 ) -> DataFrame:
     """The (block_key, id) rows behind :func:`similarity_self_join` —
     factored out so tests/benches can census candidate mass on adversarial
-    (uniform-length) corpora."""
+    (uniform-length) corpora.
+
+    ``family``: ``"grams"`` forces band ∪ rarest-gram keys, ``"bands"``
+    forces pure log-length banding, ``"auto"`` (default) censuses BOTH
+    families' candidate mass (Σ_key C(n,2) — two one-scalar aggregates,
+    the same bounded driver-side decision pattern as adaptive salting in
+    operators/pairs.py) and routes through the lighter one. Both families
+    are lossless, so the choice never changes the join result — only its
+    cost. The regimes are real and measured (BENCH/simjoin_uniform.json):
+
+    * **diverse gram space** (large alphabets, strict p): the rare-gram
+      prefix wins by orders of magnitude — 97% candidate cut on the
+      uniform-length test corpus, 220× in tools/bench_edjoin.py.
+    * **saturated gram space** (small alphabet, permissive p): at
+      p=0.7/q=2 over 5,000 natural-text 32-char prefixes only ~106
+      distinct grams ever enter a rare prefix (the "rarest" appears in
+      1,700 docs), so gram keys carry MORE mass (52.5M) than the single
+      length band (25.0M) while cutting distinct candidates only 17%.
+      A sim-ball of radius (1-p)·L over a saturated gram alphabet is
+      near-all-pairs by construction; no lossless scheme prunes it
+      (measured: PassJoin-style segments 53%, segment ∩ gram 51%).
+      Auto mode detects this and keeps the cheaper banding plan.
+    """
     # byte length, not char length: the kernel and the similarity formula
     # are byte-based (ReadMe.md:50-51), and the ratio bound must hold in
     # the same unit the distance is measured in
@@ -146,7 +184,7 @@ def similarity_candidate_blocks(
         F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).alias("__len"),
     )
     l_star = similarity_prefix_boundary(p, q, transpositions)
-    if l_star is None:
+    if l_star is None or family == "bands":
         blocks = slim.select(
             F.explode(log_length_bands(F.col("__len"), p)).alias("block_key"), "id"
         )
@@ -184,6 +222,23 @@ def similarity_candidate_blocks(
         gram_keys = ranked.where(F.col("__r") <= F.col("__plen")).select(
             F.concat(F.lit("sg|"), F.col("g")).alias("block_key"), "id"
         )
+        if family == "auto":
+            from levenshtein_spark.session import scoped_persist
+
+            # compare the two lossless families on the SAME population (the
+            # gram-mode strings); short strings carry band keys either way.
+            # gram_keys is persisted across census + join (its lineage holds
+            # the frequency-ranking shuffle); scoped for harness release.
+            gram_keys = gram_keys.transform(scoped_persist)
+            band_alt = gram_side.select(
+                F.explode(log_length_bands(F.col("__len"), p)).alias("block_key"), "id"
+            )
+            if _key_mass(band_alt) <= _key_mass(gram_keys):
+                gram_keys.unpersist()
+                return slim.select(
+                    F.explode(log_length_bands(F.col("__len"), p)).alias("block_key"),
+                    "id",
+                )
         blocks = band_keys.unionByName(gram_keys)
     return blocks
 

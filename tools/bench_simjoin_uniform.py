@@ -65,7 +65,6 @@ def main() -> None:
     from levenshtein_spark.functions.distance import bounded_edit_dist
     from levenshtein_spark.operators.pairs import candidate_pairs
     from levenshtein_spark.operators.simjoin import (
-        log_length_bands,
         similarity_candidate_blocks,
         similarity_self_join,
     )
@@ -97,18 +96,26 @@ def main() -> None:
     n_rows = d.count()
 
     # r02 candidate stage: pure log-length banding (uniform length -> one band)
-    band_blocks = d.select(
-        F.explode(log_length_bands(F.octet_length("ptext"), _P)).alias("block_key"), "id"
+    band_blocks = similarity_candidate_blocks(
+        d, "ptext", _P, q=_Q, transpositions=False, family="bands"
     )
     band_mass = census(band_blocks)
 
-    # round-3 stage: band ∪ rarest-q-gram prefix
-    new_blocks = similarity_candidate_blocks(
-        d, "ptext", _P, q=_Q, transpositions=False
+    # round-3 gram family, forced (band ∪ rarest-q-gram prefix)
+    gram_blocks = similarity_candidate_blocks(
+        d, "ptext", _P, q=_Q, transpositions=False, family="grams"
     ).persist()
-    gram_mass = census(new_blocks)
+    gram_mass = census(gram_blocks)
+    gram_blocks.unpersist()
+
+    # what auto mode (the shipped default) routes through
+    auto_blocks = similarity_candidate_blocks(
+        d, "ptext", _P, q=_Q, transpositions=False, family="auto"
+    ).persist()
+    auto_mass = census(auto_blocks)
+    auto_family = "bands" if auto_mass == band_mass else "grams"
     t0 = time.perf_counter()
-    distinct = candidate_pairs(new_blocks, hot_threshold=500, num_salts=8).count()
+    distinct = candidate_pairs(auto_blocks, hot_threshold=500, num_salts=8).count()
     t_pairs = time.perf_counter() - t0
 
     def lev_sim(a, b):
@@ -136,6 +143,8 @@ def main() -> None:
         "all_pairs": n_rows * (n_rows - 1) // 2,
         "band_candidate_mass": band_mass,
         "gram_candidate_mass": gram_mass,
+        "auto_family": auto_family,
+        "auto_candidate_mass": auto_mass,
         "distinct_candidates": distinct,
         "candidate_reduction_vs_banding": round(band_mass / max(distinct, 1), 1),
         "matches": matches,
