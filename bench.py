@@ -44,7 +44,9 @@ def _ensure_sf1_corpus(spark, sf01_dir: str) -> str:
     case than fresh text."""
     import pyspark.sql.functions as F
 
-    out_dir = "/tmp/levenshtein_spark_sf1"
+    # keyed by the source dir: an sf0.001 verify run must not reuse (or
+    # overwrite) the sf0.1-derived corpus the round bench measures
+    out_dir = f"/tmp/levenshtein_spark_sf1_{os.path.basename(sf01_dir.rstrip('/'))}"
     marker = os.path.join(out_dir, "_built")
     if os.path.exists(marker):
         return out_dir
@@ -99,7 +101,7 @@ def main() -> None:
     from levenshtein_spark.operators.blocking import exploded_blocks
     from levenshtein_spark.operators.normalize import normalize
     from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
-    from levenshtein_spark.session import get_spark, warm_python_workers
+    from levenshtein_spark.session import get_spark, release_caches, warm_python_workers
 
     spark = get_spark("bench")
     warm_python_workers(spark)
@@ -121,6 +123,7 @@ def main() -> None:
         detail[f"{name}_runs"] = float(len(samples))
         for i, s in enumerate(samples):
             detail[f"{name}_run{i}"] = s
+        release_caches()  # drop scoped helper-stage caches (ADVICE r02)
 
     # q1: full ER pipeline on customers — best-of-2 like the floors (the
     # host swings up to 50% between identical runs, which poisoned r01's
@@ -247,6 +250,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             sf1_times[name] = round(time.perf_counter() - t0, 3)
+            release_caches()  # drop scoped helper-stage caches (ADVICE r02)
 
         n1 = [0]
         clock1("link_pipeline", lambda: n1.__setitem__(0, flagship_clusters(spark, sf1_dir).count()))
@@ -282,6 +286,18 @@ def main() -> None:
         sf1["scale_vs_sf01"] = {
             q: round(sf1_times[q] / max(times[q], 1e-9), 2) for q in sf1_times
         }
+        # How to read scale_vs_sf01: link_pipeline is apples-to-apples (10×
+        # rows of the same distribution → expect ~2-4× wall at fixed cores).
+        # The documents trio is NOT: the 10-deep clone sets multiply the
+        # candidate count ~100× (each family contributes C(10,2) intra pairs
+        # on shared band keys — by design, the adversarial skew case), and
+        # near-identical pairs defeat the kernel's counting-bound early exit
+        # (they're true matches, so the banded DP must run), so per-pair
+        # scoring cost is several times the sf0.1 mix's. Compare
+        # candidate_pairs-normalized throughput across rounds, not raw wall.
+        sf1["pairs_scale_vs_sf01"] = round(
+            state["n1"] / max(detail.get("candidate_pairs", 1.0), 1.0), 1
+        )
 
     total = round(sum(times.values()), 3)
     print(
