@@ -458,6 +458,20 @@ def q_dedup_substring_multi(spark: SparkSession, sf: str) -> DataFrame:
     ``dedup_substring_spans``; the width-4 rows add the shorter repeats
     plus wider islands around the long ones (a 10-token repeat is 3
     width-8 windows but 7 width-4 windows).
+
+    **Exact-boundary property** (why this closes the variable-length-repeat
+    fidelity gap, not just the floor): for ANY maximal cross-doc repeat of
+    token length L >= w at positions [s, s+L-1], every width-w window
+    starting in [s, s+L-w] lies inside the repeat and therefore has a
+    duplicate (its aligned counterpart in the repeat's twin), so those
+    windows form one consecutive run and the gaps-and-islands merge emits
+    span_start = s, span_end = (s+L-w) + (w-1) = s+L-1 — the EXACT
+    boundaries, at token granularity, for every repeat at least w tokens
+    long (suffix-array methods a la Lee et al. give the same regions; the
+    only information lost at width w is repeats shorter than w). Adjacent
+    or overlapping repeats merge into one island — the union is what a
+    span-cutting curation pass wants. Pinned in
+    ``tests/test_substring_temperature.py::test_substring_multi_exact_boundaries``.
     """
     return substring_spans_multi(tbl(spark, sf, "documents"), _SUB_WIDTHS)
 

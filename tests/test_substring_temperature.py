@@ -149,3 +149,33 @@ def test_substring_multi_width8_rows_match_single_width(spark):
     ):
         single.add((r.doc_id, r.s, r.e, r.n))
     assert multi8 == single and len(multi8) == 2
+
+
+def test_substring_multi_exact_boundaries(spark):
+    """Exact-boundary property: a maximal L-token repeat (L >= w) yields a
+    width-w island with span EXACTLY [s, s+L-1] — token-granular boundaries,
+    not window-quantized (the round-2 critique applied to width-8-only; at
+    the smallest width the islands ARE the maximal repeats)."""
+    from levenshtein_spark.driver_queries.dedup import substring_spans_multi
+
+    rep = " ".join(f"r{i}" for i in range(13))  # 13-token repeat
+    # doc 0: repeat at token positions 3..15; doc 1: at 1..13 — surrounded
+    # by unique filler so the repeat is maximal on both sides
+    d = _docs(
+        spark,
+        [
+            (0, "u0 u1 u2 " + rep + " u3 u4"),
+            (1, "v0 " + rep + " v1 v2 v3"),
+            (2, "w0 w1 w2 w3 w4 w5 w6 w7"),
+        ],
+    )
+    out = substring_spans_multi(d, widths=(4, 8)).collect()
+    got4 = {(r.doc_id, r.span_start, r.span_end) for r in out if r.width == 4}
+    got8 = {(r.doc_id, r.span_start, r.span_end) for r in out if r.width == 8}
+    # width 4: exact boundaries of the 13-token repeat in both docs
+    assert got4 == {(0, 4, 16), (1, 2, 14)}
+    # width 8 agrees on the same repeat (L >= 8, so boundaries match too)
+    assert got8 == {(0, 4, 16), (1, 2, 14)}
+    # window counts: L - w + 1 consecutive duplicated windows per doc
+    n4 = {(r.doc_id): r.n_windows for r in out if r.width == 4}
+    assert n4 == {0: 10, 1: 10}
