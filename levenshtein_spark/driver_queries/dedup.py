@@ -532,10 +532,14 @@ list_transform(
 
 
 def _dd_minhash_keys_sql(
-    grams_sql: str | None = None, num_hashes: int = _NUM_HASHES, bands: int = _BANDS
+    grams_sql: str | None = None,
+    num_hashes: int = _NUM_HASHES,
+    bands: int = _BANDS,
+    table_sql: str = "documents",
 ) -> str:
     """DuckDB twin of functions.hashing.minhash_band_table over any grams
-    expression (defaults to the word-bigram family of dedup_minhash)."""
+    expression (defaults to the word-bigram family of dedup_minhash) and
+    any source relation (``table_sql`` may be a CTE name)."""
     grams_sql = grams_sql if grams_sql is not None else _DD_BIGRAMS
     rows = num_hashes // bands
     slots = [
@@ -548,7 +552,7 @@ def _dd_minhash_keys_sql(
         joined = " || '_' || ".join(f"CAST({s} AS VARCHAR)" for s in part)
         keys.append(f"'b{b}:' || md5({joined})")
     selects = [
-        f"SELECT doc_id, {k} AS band_key FROM (SELECT doc_id, {grams_sql} AS g FROM documents) t"
+        f"SELECT doc_id, {k} AS band_key FROM (SELECT doc_id, {grams_sql} AS g FROM {table_sql}) t"
         for k in keys
     ]
     return "\nUNION ALL\n".join(selects)

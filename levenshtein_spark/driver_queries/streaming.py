@@ -315,12 +315,93 @@ def q_streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(_SESS_SINK)
 
 
+_SDD_SINK = "streaming_dedup_mem"
+_SDD_SRC = "/tmp/levenshtein_spark_sdd_src"
+_SDD_CLONES = 40
+_SDD_HASHES = 8
+_SDD_BANDS = 4
+
+
+def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-on-ingest: MinHash-band first-seen tracking
+    (streaming/dedup.py), driver-checked.
+
+    Each arriving document computes its {_SDD_BANDS} LSH band keys
+    IN-STREAM (the stateless expression form of the minhash family — no
+    aggregation, so the only stateful operator is the dedup itself) and is
+    flagged the moment any key was already claimed by an earlier document.
+    State is one long per distinct band key — the cheapest stateful dedup,
+    and the streaming front door of the batch `dedup_minhash` family.
+
+    Closed batch form (single availableNow micro-batch over one coalesced
+    file, arrivals processed in id order): doc d is flagged with
+    ``dup_of = min(doc_id)`` over all docs sharing >= 1 band key with d —
+    per band key the canonical is the group's min id, and the doc-level
+    resolution takes the min over its keys, which equals the min over all
+    key-sharing docs. Planted rows (ids 100000+i, verbatim clones of the
+    first {_SDD_CLONES} docs) share ALL band keys with their sources, so
+    the match set is non-vacuous on top of natural near-dups. Cross-batch
+    semantics (state carry-over, canonical takeover by a later smaller id,
+    exactly-once emission per lost key) are pinned in
+    tests/test_streaming_dedup.py; the TTL knob shares the linkage
+    operator's pinned timer plumbing (streaming/linkage.py).
+    """
+    from levenshtein_spark.functions.hashing import minhash_band_keys, minhash_signature
+    from levenshtein_spark.functions.text import word_bigrams
+    from levenshtein_spark.streaming.dedup import stream_first_seen
+
+    docs = tbl(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < _SDD_CLONES).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    src = docs.unionByName(planted)
+    # one file -> one availableNow micro-batch -> deterministic id-ordered
+    # first-seen resolution (the closed batch form above)
+    src.coalesce(1).write.mode("overwrite").parquet(_SDD_SRC)
+
+    stream = spark.readStream.schema(src.schema).format("parquet").load(_SDD_SRC)
+    keyed = stream.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            minhash_band_keys(
+                minhash_signature(word_bigrams(F.col("text")), _SDD_HASHES),
+                _SDD_BANDS,
+                _SDD_HASHES // _SDD_BANDS,
+            )
+        ).alias("block_key"),
+    )
+    out = stream_first_seen(keyed, key_col="block_key", id_col="id", state_timeout_ms=None)
+    # size the state-store width to this bounded run (see the incremental
+    # link's comment); restore the session default after
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(_SDD_SINK)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_dedup did not drain within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        spark.table(_SDD_SINK)
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.min("first_id").alias("dup_of"))
+    )
+
+
 QUERIES = {
     "streaming_fuzzy_link": q_streaming_fuzzy_link,
     "streaming_incremental_link": q_streaming_incremental_link,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_stream_join": q_streaming_stream_join,
     "streaming_session_window": q_streaming_session_window,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 def _incremental_oracle() -> str:
@@ -426,3 +507,28 @@ FROM agg, wm
 WHERE e <= wm.w
 """,
 }
+
+
+def _streaming_dedup_oracle() -> str:
+    # same band-key universe the stream computes (word-bigram MinHash,
+    # b=4, r=2) over the same union source, then the closed batch form:
+    # dup_of = min doc_id over all key-sharing earlier docs
+    from levenshtein_spark.driver_queries.dedup import _dd_minhash_keys_sql
+
+    keys = _dd_minhash_keys_sql(
+        num_hashes=_SDD_HASHES, bands=_SDD_BANDS, table_sql="sdd_src"
+    )
+    return f"""
+WITH sdd_src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < {_SDD_CLONES}
+),
+keys AS ({keys})
+SELECT a.doc_id AS doc_id, min(b.doc_id) AS dup_of
+FROM keys a JOIN keys b ON a.band_key = b.band_key AND b.doc_id < a.doc_id
+GROUP BY a.doc_id
+"""
+
+
+ORACLES["streaming_dedup"] = _streaming_dedup_oracle()
