@@ -270,21 +270,70 @@ def main() -> None:
 
         clock1("doc_block_pairs", run_pairs_sf1)
         sf1["candidate_pairs"] = float(state["n1"])
-        clock1(
-            "osa_scoring",
-            lambda: state["pairs1"]
-            .select(bounded_edit_dist_t("content_prefix_a", "content_prefix_b", 8).alias("d"))
-            .agg(F.sum("d"))
-            .collect(),
-        )
+
+        def score_direct() -> None:
+            state["sum_direct"] = (
+                state["pairs1"]
+                .select(bounded_edit_dist_t("content_prefix_a", "content_prefix_b", 8).alias("d"))
+                .agg(F.sum("d"))
+                .collect()[0][0]
+            )
+
+        clock1("osa_scoring", score_direct)
+
+        # Memoized twin (operators/scoring.py score_pairs(memoize=True)
+        # evaluation shape): the 10-deep clone sets make many candidate
+        # pairs carry IDENTICAL payloads, so score one representative per
+        # distinct (a, b) and weight by multiplicity. Same Σd — asserted.
+        # Single-shot timing here is drift-exposed like every sf1 number;
+        # the controlled regime record (build/score split, k=8 vs k=64) is
+        # tools/bench_memoize.py -> BENCH/memoize_regimes.json.
+        def score_memoized() -> None:
+            grouped = (
+                state["pairs1"]
+                .groupBy("content_prefix_a", "content_prefix_b")
+                .agg(F.count("*").alias("cnt"))
+                .persist()
+            )
+            state["memo_distinct"] = grouped.count()
+            state["sum_memo"] = (
+                grouped.select(
+                    (
+                        bounded_edit_dist_t("content_prefix_a", "content_prefix_b", 8)
+                        * F.col("cnt")
+                    ).alias("d")
+                )
+                .agg(F.sum("d"))
+                .collect()[0][0]
+            )
+            grouped.unpersist()
+
+        # clearCache in clock1 would drop pairs1 (the shared input); time
+        # manually against the same cache the direct pass used
+        t0 = time.perf_counter()
+        score_memoized()
+        sf1_times["osa_scoring_memoized"] = round(time.perf_counter() - t0, 3)
+        if state["sum_memo"] != state["sum_direct"]:
+            raise RuntimeError(
+                f"memoized scoring diverged: {state['sum_memo']} != {state['sum_direct']}"
+            )
+        sf1["memo_distinct_pairs"] = float(state["memo_distinct"])
+        sf1["memo_duplication_factor"] = round(state["n1"] / max(state["memo_distinct"], 1), 2)
+        sf1["memo_sum_matches_direct"] = 1.0
         state["pairs1"].unpersist()
         sf1["scored_pairs_per_sec"] = round(
             state["n1"] / max(sf1_times["osa_scoring"], 1e-9), 1
         )
         sf1["queries"] = sf1_times
-        sf1["total"] = round(sum(sf1_times.values()), 3)
+        # total stays the headline trio (stable-bench-set rule); the
+        # memoized twin is an extra measured comparison, not a new member
+        sf1["total"] = round(
+            sum(v for q, v in sf1_times.items() if q in times), 3
+        )
         sf1["scale_vs_sf01"] = {
-            q: round(sf1_times[q] / max(times[q], 1e-9), 2) for q in sf1_times
+            q: round(sf1_times[q] / max(times[q], 1e-9), 2)
+            for q in sf1_times
+            if q in times
         }
         # How to read scale_vs_sf01: link_pipeline is apples-to-apples (10×
         # rows of the same distribution → expect ~2-4× wall at fixed cores).

@@ -8,6 +8,26 @@ ships exact-dupe rows to the Python worker.
 
 Edge rule: ``match = sha_equal OR osa(content_prefix) <= k_content``; the
 path distance rides along as a feature column (closest-match queries use it).
+
+``memoize=True`` adds **value-level memoization** to the fuzzy branch: the
+kernel scores one representative per distinct payload tuple and the result
+joins back onto the slim pair stream by a sha256 value key. On clone-heavy
+corpora (vendored deps, forks, boilerplate — the normal state of a
+source-code crawl) many candidate pairs carry identical
+``(content_prefix, path_base)`` payloads, so Arrow transfer and kernel
+work shrink by the duplication factor while the cost moves to ONE
+payload-wide dedup shuffle plus one slim join-back. Measured on the
+26.8×-duplicated sf1 bench corpus (41M pairs → 1.53M distinct,
+``BENCH/memoize_regimes.json``, ``tools/bench_memoize.py``): **3.0×**
+end-to-end at the default k=8 banded kernel (30.1s → 8.8s build + 1.2s
+score) and **10.4×** at k=64 (246s → 23.6s) — the win grows with
+comparator cost, because the dedup shuffle is paid once regardless of k.
+It is a flag, not the default, because at duplication ~1 the build
+shuffle is pure overhead; flip it when the corpus is known clone-heavy or
+a census shows distinct/total < ~0.7. Exactness relies only on sha256
+injectivity — the SAME trust the sha short-circuit already places in it
+(``sha_a == sha_b`` ⇒ byte-equal content) — and the bench twin asserts
+Σdist equality against the direct path on every run.
 """
 
 from __future__ import annotations
@@ -20,17 +40,43 @@ from levenshtein_spark.functions.distance import bounded_edit_dist, bounded_edit
 DEFAULT_K_CONTENT = 8
 DEFAULT_K_PATH = 4
 
+# Unit Separator: cannot appear in sha256 hex; length-safe delimiter for the
+# coalesced path_base (NULL scores identically to '' — the kernel treats
+# both as empty, tests/test_scoring_memoize.py pins it)
+_MEMO_SEP = "\x1f"
+
+
+def _memo_key() -> F.Column:
+    """sha256 value key over the fuzzy branch's score-relevant payload.
+
+    (sha_a, sha_b) determines (content_prefix_a, content_prefix_b) — the
+    prefix is a function of content — so the key hashes the shas (fixed
+    64-char, never NULL) plus the coalesced path bases."""
+    return F.sha2(
+        F.concat_ws(
+            _MEMO_SEP,
+            F.col("sha_a"),
+            F.col("sha_b"),
+            F.coalesce(F.col("path_base_a"), F.lit("")),
+            F.coalesce(F.col("path_base_b"), F.lit("")),
+        ),
+        256,
+    )
+
 
 def score_pairs(
     pairs: DataFrame,
     k_content: int = DEFAULT_K_CONTENT,
     k_path: int = DEFAULT_K_PATH,
     transpositions: bool = True,
+    memoize: bool = False,
 ) -> DataFrame:
     """→ id_a, id_b, exact_dupe, content_dist, path_dist, is_match.
 
     ``transpositions=False`` scores with plain bounded Levenshtein instead of
     OSA (reference ``bounded_edit_dist`` vs ``bounded_edit_dist_t``).
+    ``memoize=True`` scores one representative per distinct payload tuple
+    (see module docstring); the output is row-identical either way.
     """
     dist = bounded_edit_dist_t if transpositions else bounded_edit_dist
     exact = (
@@ -43,9 +89,40 @@ def score_pairs(
             dist("path_base_a", "path_base_b", k_path).alias("path_dist"),
         )
     )
-    fuzzy = (
-        pairs.where(F.col("sha_a") != F.col("sha_b"))
-        .select(
+    fuzzy_in = pairs.where(F.col("sha_a") != F.col("sha_b"))
+    if memoize:
+        keyed = fuzzy_in.withColumn("memo_vh", _memo_key())
+        # one payload row per distinct value tuple (map-side partial
+        # aggregation dedups before the shuffle); ids are NOT carried, so
+        # the aggregate state is bounded by the distinct-value count
+        reps = keyed.groupBy("memo_vh").agg(
+            F.first("content_prefix_a").alias("content_prefix_a"),
+            F.first("content_prefix_b").alias("content_prefix_b"),
+            F.first("path_base_a").alias("path_base_a"),
+            F.first("path_base_b").alias("path_base_b"),
+        )
+        rep_scores = reps.select(
+            "memo_vh",
+            dist("content_prefix_a", "content_prefix_b", k_content).alias(
+                "content_dist"
+            ),
+            dist("path_base_a", "path_base_b", k_path).alias("path_dist"),
+        )
+        # join back on the slim (id_a, id_b, memo_vh) stream — the payload
+        # never shuffles a second time
+        fuzzy = (
+            keyed.select("id_a", "id_b", "memo_vh")
+            .join(rep_scores, "memo_vh")
+            .select(
+                "id_a",
+                "id_b",
+                F.lit(False).alias("exact_dupe"),
+                "content_dist",
+                "path_dist",
+            )
+        )
+    else:
+        fuzzy = fuzzy_in.select(
             "id_a",
             "id_b",
             F.lit(False).alias("exact_dupe"),
@@ -54,7 +131,6 @@ def score_pairs(
             ),
             dist("path_base_a", "path_base_b", k_path).alias("path_dist"),
         )
-    )
     scored = exact.unionByName(fuzzy)
     return scored.withColumn(
         "is_match", F.col("exact_dupe") | (F.col("content_dist") <= k_content)

@@ -46,6 +46,11 @@ class LinkageConfig:
     # keeps the fixed num_salts. Same pair set either way — this knob only
     # controls how a hot block's fan-out spreads over tasks.
     adaptive_target_rows: int | None = None
+    # value-level memoized scoring (operators/scoring.py): score one
+    # representative per distinct payload tuple. Identical scored rows
+    # either way; flip on for clone-heavy corpora (measured 3×/10.4× at
+    # k=8/k=64 on 26.8× duplication — BENCH/memoize_regimes.json).
+    memoize_scoring: bool = False
     force: bool = False
     stage_times: dict = field(default_factory=dict)
 
@@ -79,6 +84,7 @@ def run_linkage(spark: SparkSession, source: DataFrame, cfg: LinkageConfig) -> d
             ),
             cfg.k_content,
             cfg.k_path,
+            memoize=cfg.memoize_scoring,
         ),
     )
     edges = _stage(wh, cfg, "edges", lambda: edges_of(scored))
@@ -220,6 +226,7 @@ def run_incremental_linkage(
             ),
             cfg.k_content,
             cfg.k_path,
+            memoize=cfg.memoize_scoring,
         ),
     )
     delta_edges = _stage(wh, cfg, f"{batch_id}_edges", lambda: edges_of(delta_scored))
