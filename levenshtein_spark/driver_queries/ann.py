@@ -468,6 +468,51 @@ def q_kmeans_cell_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SEM_TAU = 0.25  # within-cell cosine ball: same verify threshold as dedup_embedding
+
+
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): candidate
+    generation by TRAINED k-means cell instead of LSH bucket — train the
+    coarse quantizer, assign every vector to its cell, and collapse each
+    vector onto the lowest-id earlier same-cell vector within the cosine
+    ball (cos >= {tau}); singletons keep themselves.
+
+    The embedding-space fifth member of the dedup family (exact / MinHash /
+    SimHash / TF-IDF / semantic): LSH candidates (``dedup_embedding``) are
+    data-independent, k-means cells adapt to the corpus's actual density so
+    near-dup pairs concentrate into O(N·B) within-cell work with B ~ N/K
+    and K grown with N — the published SemDeDup scale recipe. The cell
+    self-join runs through the hot-block-salted ``candidate_pairs`` operator
+    (a dense cluster IS a hot block), so one crowded cell cannot become a
+    single-task O(B²) straggler.
+
+    DuckDB twin: re-trains the identical centroids via the unrolled Lloyd's
+    CTE chain (bit-exact parity contract of operators/kmeans.py), replays
+    the fixed-order L2 argmin, then brute-forces within cells.
+    """
+    from levenshtein_spark.operators.kmeans import assign_cells
+    from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
+
+    e = tbl(spark, sf, "embeddings")
+    cent = _trained_ivf_cent(e)
+    cells = assign_cells(e, cent, "vec_id", "embedding").transform(scoped_persist)
+    blocks = cells.select(
+        F.col("cell").cast("string").alias("block_key"), F.col("vec_id").alias("id")
+    )
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    emb = e.select(F.col("vec_id").alias("id"), "embedding")
+    fat = attach_pair_payload(pairs, emb, ["embedding"])
+    near = (
+        fat.where(F.round(cosine(F.col("embedding_a"), F.col("embedding_b")), 6) >= _SEM_TAU)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return cells.join(near, "vec_id", "left").select(
+        "vec_id", "cell", F.coalesce("dup_of", F.col("vec_id")).alias("dup_of")
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -479,6 +524,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "kmeans_cells": q_kmeans_cells,
     "kmeans_cell_sample": q_kmeans_cell_sample,
+    "dedup_semantic": q_dedup_semantic,
 }
 
 # -- DuckDB twins -------------------------------------------------------------
@@ -864,6 +910,23 @@ ORACLES["kmeans_cells"] = f"""
 WITH {_DD_IVF_CENT},
 {_DD_KM_FINAL_ASSIGN}
 SELECT vec_id, cell FROM final_assign
+"""
+
+ORACLES["dedup_semantic"] = f"""
+WITH {_DD_IVF_CENT},
+{_DD_KM_FINAL_ASSIGN},
+m AS (
+  SELECT f.vec_id, f.cell, e.embedding
+  FROM final_assign f JOIN embeddings e USING (vec_id)
+),
+near AS (
+  SELECT l.vec_id, min(r.vec_id) AS dup_of
+  FROM m l JOIN m r ON l.cell = r.cell AND r.vec_id < l.vec_id
+  WHERE round({_dd_cosine('l.embedding', 'r.embedding')}, 6) >= {_SEM_TAU}
+  GROUP BY l.vec_id
+)
+SELECT f.vec_id, f.cell, COALESCE(n.dup_of, f.vec_id) AS dup_of
+FROM final_assign f LEFT JOIN near n USING (vec_id)
 """
 
 ORACLES["kmeans_cell_sample"] = f"""

@@ -505,6 +505,99 @@ def substring_spans_multi(d: DataFrame, widths=_SUB_WIDTHS) -> DataFrame:
     return out
 
 
+_LCP_CAP = 64  # suffix truncation: longest reportable shared substring
+_LCP_PFX = 4  # shuffle key width = detection floor (chars)
+
+
+def q_dedup_suffix_lcp(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document longest CROSS-document shared substring, at CHARACTER
+    granularity, via generalized-suffix ordering — the genuine Lee et al.
+    suffix-array shape (the window families ``dedup_substring*`` quantize
+    to token windows; this one reports the exact character length).
+
+    Method: explode every suffix (truncated to {cap} chars), hash-partition
+    by its first {pfx} chars (suffixes sharing a {pfx}-prefix are
+    lexicographically CONTIGUOUS, so each group can be sorted locally —
+    Lee et al.'s suffix sort re-expressed as one shuffle + per-group sort),
+    then inside each sorted group: adjacent-suffix LCP via lag, same-doc
+    runs, and the range-min property ``lcp(i,j) = min(adjacent lcps
+    between)`` give each suffix its LCP to the nearest preceding/following
+    different-doc suffix — which is exactly its maximum LCP to ANY other
+    document (LCP is non-increasing with suffix-order distance). Per-doc
+    max, clamped below the {pfx}-char floor, is the answer.
+
+    Scale: O(total_chars) suffix rows, one hash shuffle whose key width is
+    the tuning knob (longer prefix = more, smaller groups at bigger
+    corpora), per-group windows, zero Python. Result is exact for shared
+    substrings of length in [{pfx}, {cap}]; shorter ones report 0, longer
+    ones report {cap}. Assumes a collation where both engines sort
+    prefix-consistently (ASCII corpus; documented in tests).
+    """
+    return suffix_lcp(tbl(spark, sf, "documents"))
+
+
+def suffix_lcp(d: DataFrame, cap: int = _LCP_CAP, pfx: int = _LCP_PFX) -> DataFrame:
+    """Suffix-ordering core (semantics in :func:`q_dedup_suffix_lcp`;
+    factored out so tests can plant known shared substrings)."""
+    d = d.where(F.length("text") >= 1)
+    suf = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(f"substring(text, pos, {cap})").alias("suf"),
+    )
+    suf = suf.withColumn("grp", F.expr(f"substring(suf, 1, {pfx})"))
+    w_ord = Window.partitionBy("grp").orderBy("suf", "doc_id", "pos")
+    suf = suf.select(
+        "*",
+        F.lag("suf").over(w_ord).alias("psuf"),
+        F.lag("doc_id").over(w_ord).alias("pdoc"),
+    )
+    # adjacent-suffix LCP: max k with equal k-prefixes, valid only up to both
+    # true lengths (equality of substring() alone over-reports for equal
+    # SHORT suffixes, which truncate identically at every k)
+    lcp_expr = (
+        f"array_max(transform(sequence(1, {cap}), "
+        "k -> IF(k <= length(psuf) AND k <= length(suf) "
+        "AND substring(psuf, 1, k) = substring(suf, 1, k), k, 0)))"
+    )
+    suf = suf.select(
+        "grp",
+        "doc_id",
+        "pos",
+        "suf",
+        F.when(F.col("psuf").isNull(), F.lit(0)).otherwise(F.expr(lcp_expr)).alias("lcp_prev"),
+        F.when(
+            F.col("pdoc").isNull() | (F.col("pdoc") != F.col("doc_id")), F.lit(1)
+        ).otherwise(F.lit(0)).alias("chg"),
+    )
+    suf = suf.withColumn(
+        "run", F.sum("chg").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    # coalesce matters: the group's LAST row has no next suffix; a NULL here
+    # would be SKIPPED by the window min, silently promoting a same-doc
+    # adjacent LCP into the cross-doc forward chain
+    suf = suf.withColumn("lcp_next", F.coalesce(F.lead("lcp_prev").over(w_ord), F.lit(0)))
+    w_run = Window.partitionBy("grp", "run").orderBy("suf", "doc_id", "pos")
+    # min of adjacent LCPs back to the previous run's last row (a different
+    # doc, by run construction) / forward to the next run's first row
+    suf = suf.select(
+        "doc_id",
+        F.min("lcp_prev").over(w_run.rowsBetween(Window.unboundedPreceding, 0)).alias("back_lcp"),
+        F.min("lcp_next").over(w_run.rowsBetween(0, Window.unboundedFollowing)).alias("fwd_lcp"),
+    )
+    per = suf.groupBy("doc_id").agg(
+        F.max(F.greatest(F.coalesce("back_lcp", F.lit(0)), F.coalesce("fwd_lcp", F.lit(0)))).alias("mx")
+    )
+    return per.select(
+        "doc_id",
+        F.when(F.col("mx") >= pfx, F.col("mx")).otherwise(F.lit(0)).cast("long").alias("shared_len"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -516,6 +609,7 @@ QUERIES = {
     "dedup_substring": q_dedup_substring,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_substring_multi": q_dedup_substring_multi,
+    "dedup_suffix_lcp": q_dedup_suffix_lcp,
 }
 
 
@@ -753,6 +847,63 @@ FROM (
 ORACLES["dedup_substring_multi"] = "\nUNION ALL\n".join(
     _dd_spans_width_sql(w) for w in _SUB_WIDTHS
 )
+
+# Twin of q_dedup_suffix_lcp, run over the GLOBAL suffix order (no prefix
+# grouping — DuckDB sorts 150k suffixes in one pass). Equality holds because
+# every >= {pfx}-char LCP chain lives inside one contiguous prefix group, and
+# all sub-{pfx} values clamp to 0 on both sides (range-min argument in the
+# Spark docstring).
+_DD_LCP = (
+    f"list_max(list_transform(range(1, {_LCP_CAP} + 1), "
+    "k -> CASE WHEN k <= length({a}) AND k <= length({b}) "
+    "AND substr({a}, 1, k) = substr({b}, 1, k) THEN k ELSE 0 END))"
+)
+
+ORACLES["dedup_suffix_lcp"] = f"""
+WITH suf AS (
+  SELECT doc_id, r.i AS pos, substr(text, r.i, {_LCP_CAP}) AS suf
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+  WHERE length(text) >= 1
+),
+ord AS (
+  SELECT doc_id, pos, suf,
+         lag(doc_id) OVER w AS pdoc,
+         lag(suf) OVER w AS psuf
+  FROM suf
+  WINDOW w AS (ORDER BY suf, doc_id, pos)
+),
+adj AS (
+  SELECT doc_id, pos, suf,
+         CASE WHEN psuf IS NULL THEN 0
+              ELSE {_DD_LCP.format(a='psuf', b='suf')} END AS lcp_prev,
+         CASE WHEN pdoc IS NULL OR pdoc <> doc_id THEN 1 ELSE 0 END AS chg
+  FROM ord
+),
+runs AS (
+  SELECT *, sum(chg) OVER (ORDER BY suf, doc_id, pos ROWS UNBOUNDED PRECEDING) AS run
+  FROM adj
+),
+step AS (
+  SELECT *, COALESCE(lead(lcp_prev) OVER (ORDER BY suf, doc_id, pos), 0) AS lcp_next
+  FROM runs
+),
+dirs AS (
+  SELECT doc_id,
+         min(lcp_prev) OVER (PARTITION BY run ORDER BY suf, doc_id, pos
+                             ROWS UNBOUNDED PRECEDING) AS back_lcp,
+         min(lcp_next) OVER (PARTITION BY run ORDER BY suf, doc_id, pos
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_lcp
+  FROM step
+),
+per AS (
+  SELECT doc_id,
+         max(greatest(COALESCE(back_lcp, 0), COALESCE(fwd_lcp, 0))) AS mx
+  FROM dirs GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN mx >= {_LCP_PFX} THEN mx ELSE 0 END AS BIGINT) AS shared_len
+FROM per
+"""
 
 
 _CANON_J = 0.8  # collapse threshold: verified near-dups this similar merge

@@ -188,3 +188,43 @@ def test_pq_structure_and_planted_recall(spark, emb):
     res = pq_topk(e, cw_probe, top_k=_PQ_K).collect()
     assert len(res) == _PQ_K  # ranked list exists and excludes self
     assert all(r.neighbor_id != 0 for r in res)
+
+
+def test_dedup_semantic_planted(spark, tmp_path):
+    """SemDeDup collapse: a planted near-copy (cos ~1) of an earlier vector
+    lands in the same trained cell and collapses onto it; vectors without a
+    near-dup keep themselves; every dup_of points at a strictly earlier id."""
+    from levenshtein_spark.driver_queries.ann import q_dedup_semantic
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(40):
+        # near-orthogonal base: e_i + small noise => pairwise cos << 0.25,
+        # so the only legal collapses are the planted copies (isotropic
+        # random vectors would occasionally cross 0.25 by chance)
+        v = np.zeros(64)
+        v[i] = 1.0
+        v = v + 0.05 * rng.normal(size=64)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    base = {i: np.array(v) for i, v in rows}
+    for a in range(40):
+        for b in range(a + 1, 40):
+            assert abs(float(base[a] @ base[b])) < 0.25
+    # 40..44: scaled copies of 5..9 (cos exactly 1.0 with their source)
+    for j in range(5):
+        src = rows[5 + j][1]
+        rows.append((40 + j, [float(x * 1.01) for x in src]))
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        f"{sf}/embeddings.parquet"
+    )
+
+    out = {r.vec_id: (r.cell, r.dup_of) for r in q_dedup_semantic(spark, sf).collect()}
+    assert len(out) == 45
+    for j in range(5):
+        assert out[40 + j][1] == 5 + j, f"planted copy {40 + j} kept {out[40 + j][1]}"
+        assert out[40 + j][0] == out[5 + j][0], "copy must share its source's cell"
+    # the near-orthogonal base never crosses the 0.25 ball: all singletons
+    for i in range(40):
+        assert out[i][1] == i
+    assert all(dup <= vid for vid, (_, dup) in out.items())

@@ -56,3 +56,52 @@ def test_curate_job_batch_and_incremental(spark, tmp_path, monkeypatch, capsys):
     assert rep2["stage_rows"]["delta_profiled"] == 5
     assert rep2["stage_rows"]["canon"] >= rep["stage_rows"]["canon"]
     assert 0 < rep2["retention"] <= 1
+
+
+def test_spark_submit_py_files_real_binary(tmp_path):
+    """The ACTUAL cluster deployment path (north_rule: 'run via spark-submit
+    --py-files'): build dist/levenshtein_spark.zip, copy jobs/link.py OUTSIDE
+    the repo, and run the real spark-submit binary from there — so the
+    package import can only be satisfied by the --py-files archive, exactly
+    as on a multi-executor cluster. Asserts a clean exit and a sane JSON
+    report from the full blocking→scoring→clustering pipeline."""
+    import os
+    import shutil
+    import subprocess
+
+    import pyspark
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from tools.make_dist import build
+
+    zip_path = str(tmp_path / "levenshtein_spark.zip")
+    n = build(zip_path)
+    assert n > 20  # the package really is in the archive
+
+    job = str(tmp_path / "link.py")
+    shutil.copyfile(os.path.join(repo, "jobs", "link.py"), job)
+    spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zip_path,
+            job,
+            "--synthetic-clusters", "25",
+            "--checkpoint", str(tmp_path / "wh"),
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    rep = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep["n_clusters"] > 0
+    assert rep["stage_rows"]["normalized"] > 0

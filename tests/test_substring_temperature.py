@@ -179,3 +179,62 @@ def test_substring_multi_exact_boundaries(spark):
     # window counts: L - w + 1 consecutive duplicated windows per doc
     n4 = {(r.doc_id): r.n_windows for r in out if r.width == 4}
     assert n4 == {0: 10, 1: 10}
+
+
+def test_suffix_lcp_planted(spark):
+    """Character-granular longest-shared-substring: a planted 17-char
+    cross-doc string reports EXACTLY 17 (the window families would quantize
+    it); identical docs hit the 64-char cap; overlaps under the 4-char
+    detection floor report 0."""
+    from levenshtein_spark.driver_queries.dedup import suffix_lcp
+
+    shared17 = "qwertyuiopasdfghj"
+    long_z = "".join(f"z{i % 10}" for i in range(50))  # 100 chars, all 'z'+digit
+    d = _docs(
+        spark,
+        [
+            (0, "aaaaaaaaaa" + shared17 + "bbbbbbbbbb"),
+            (1, "cccccccccc" + shared17 + "dddddddddd"),
+            (2, long_z),
+            (3, long_z),
+            (4, "mnopmnop"),  # alphabet disjoint from every other doc
+            (5, "eeeeeexyzffffff"),  # shares only 'xyz' (3 chars) with doc 6
+            (6, "gggggwxyzhhhhh"),
+        ],
+    )
+    got = {r.doc_id: r.shared_len for r in suffix_lcp(d).collect()}
+    assert got[0] == 17 and got[1] == 17
+    assert got[2] == 64 and got[3] == 64  # cap, not 100
+    assert got[4] == 0
+    assert got[5] == 0 and got[6] == 0  # 'xyz' is under the 4-char floor
+
+
+def test_suffix_lcp_matches_bruteforce(spark):
+    """Dense-overlap regime: tiny alphabet makes every doc share substrings
+    with every other; the suffix-ordering result equals per-doc brute force
+    (max longest-common-substring vs any other doc, clamped to [4, 64])."""
+    import random
+
+    from levenshtein_spark.driver_queries.dedup import suffix_lcp
+
+    rng = random.Random(42)
+    texts = ["".join(rng.choice("ab") for _ in range(40)) for _ in range(10)]
+
+    def lcs_len(a: str, b: str) -> int:
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                k = 0
+                while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    want = {}
+    for i, a in enumerate(texts):
+        mx = max(lcs_len(a, b) for j, b in enumerate(texts) if j != i)
+        want[i] = min(mx, 64) if mx >= 4 else 0
+
+    d = _docs(spark, list(enumerate(texts)))
+    got = {r.doc_id: r.shared_len for r in suffix_lcp(d).collect()}
+    assert got == want
