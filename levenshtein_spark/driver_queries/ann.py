@@ -302,17 +302,18 @@ def _pq_cb_and_codes(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     exact-parity contract so the DuckDB twin re-derives identical centroids.
     Encoding stays argmax inner product against the (now trained) codebook;
     the per-vector scan is ONE posexplode over the array of subspace slices
-    (a per-m unionByName would re-scan the source M times)."""
-    from levenshtein_spark.operators.kmeans import train_centroids
+    (a per-m unionByName would re-scan the source M times). All {_PQ_M}
+    sub-codebooks train in one fused pass per iteration
+    (operators/kmeans.train_subspace_centroids — bit-identical to per-slice
+    training, M× fewer corpus scans)."""
+    from levenshtein_spark.operators.kmeans import train_subspace_centroids
 
     spark = e.sparkSession
-    cb_rows = []
-    for m in range(_PQ_M):
-        sub = e.select("vec_id", _pq_sub(F.col("embedding"), m).alias("sv"))
-        cents = train_centroids(
-            sub, "vec_id", "sv", _PQ_K, dim=_PQ_SUBDIM, iters=_KM_ITERS, quant=_KM_QUANT
-        )
-        cb_rows += [(m, cid, vec) for cid, vec in cents]
+    cents_by_m = train_subspace_centroids(
+        e.select("vec_id", "embedding"), "vec_id", "embedding",
+        _PQ_K, subdim=_PQ_SUBDIM, m_sub=_PQ_M, iters=_KM_ITERS, quant=_KM_QUANT,
+    )
+    cb_rows = [(m, cid, vec) for m, rows in cents_by_m.items() for cid, vec in rows]
     cb = spark.createDataFrame(cb_rows, "m int, code long, cvec array<double>").transform(scoped_persist)
     all_subs = F.array(*[_pq_sub(F.col("embedding"), m) for m in range(_PQ_M)])
     subs = e.select("vec_id", F.posexplode(all_subs).alias("m", "xv"))

@@ -66,6 +66,80 @@ def assign_cells(vectors: DataFrame, cent: DataFrame, id_col: str, vec_col: str)
     )
 
 
+def train_subspace_centroids(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    subdim: int,
+    m_sub: int,
+    iters: int = 2,
+    quant: int = QUANT,
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """All ``m_sub`` product-quantization sub-codebooks trained TOGETHER:
+    bit-identical to calling :func:`train_centroids` on each ``subdim``-wide
+    slice independently (same init, same fixed-order L2 argmax with ties to
+    the lower cid, same integer-quantized sums and correctly-rounded
+    divides — so the per-subspace DuckDB twins still re-derive the exact
+    centroids), but with ONE corpus pass per iteration instead of M.
+
+    At scale this is the difference that matters: per iteration, one
+    posexploded (id, m, slice) scan + one (id, m)-keyed argmax + one
+    ``m_sub × k``-row sufficient statistic, versus M full scans and M
+    driver round-trips. Returns ``{m: [(cid, cvec)] * k}``.
+    """
+    spark = vectors.sparkSession
+    init = (
+        vectors.where(F.col(id_col) < k)
+        .select(F.col(id_col).cast("long"), vec_col)
+        .collect()
+    )
+    init_rows = sorted((int(r[0]), [float(x) for x in r[1]]) for r in init)
+    cents: dict[int, list[tuple[int, list[float]]]] = {
+        m: [(cid, full[m * subdim : (m + 1) * subdim]) for cid, full in init_rows]
+        for m in range(m_sub)
+    }
+    slices = F.array(
+        *[F.slice(F.col(vec_col), m * subdim + 1, subdim) for m in range(m_sub)]
+    )
+    subs = vectors.select(
+        F.col(id_col).alias("id"), F.posexplode(slices).alias("m", "xv")
+    )
+    qcols = [
+        F.sum(
+            F.round(F.element_at(F.col("xv"), i + 1).cast("double") * F.lit(float(quant)))
+            .cast("long")
+        ).alias(f"s{i}")
+        for i in range(subdim)
+    ]
+    for _ in range(iters):
+        cb = spark.createDataFrame(
+            [(m, cid, cv) for m, rows in cents.items() for cid, cv in rows],
+            "m int, cid long, cvec array<double>",
+        )
+        scored = subs.join(F.broadcast(cb), "m").select(
+            "id", "m", "cid", "xv", l2_score(F.col("xv"), F.col("cvec")).alias("s")
+        )
+        assign = (
+            scored.groupBy("id", "m")
+            .agg(
+                F.max(F.struct(F.col("s"), (-F.col("cid")).alias("nc"))).alias("mx"),
+                F.first("xv").alias("xv"),  # xv is constant within the group
+            )
+            .select("m", (-F.col("mx.nc")).alias("cell"), "xv")
+        )
+        stats = assign.groupBy("m", "cell").agg(F.count(F.lit(1)).alias("n"), *qcols).collect()
+        updated = {
+            (int(r["m"]), int(r["cell"])): [r[f"s{i}"] / (r["n"] * quant) for i in range(subdim)]
+            for r in stats
+        }
+        cents = {
+            m: [(cid, updated.get((m, cid), old)) for cid, old in rows]
+            for m, rows in cents.items()
+        }
+    return cents
+
+
 def train_centroids(
     vectors: DataFrame,
     id_col: str,

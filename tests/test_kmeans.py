@@ -157,3 +157,28 @@ def test_pq_trained_subcodebooks_cut_adc_distortion():
 
     e_t, e_u = adc_err(True), adc_err(False)
     assert e_t < e_u * 0.5, f"trained ADC err {e_t:.2f} vs untrained {e_u:.2f}"
+
+
+def test_train_subspace_centroids_bit_parity(spark):
+    """The fused multi-subspace trainer must be BIT-identical to running
+    train_centroids on each slice independently — that equality is what
+    keeps the per-subspace DuckDB oracle CTEs valid after the one-pass
+    optimization."""
+    import numpy as np
+
+    from levenshtein_spark.operators.kmeans import (
+        train_centroids,
+        train_subspace_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=32)]) for i in range(60)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    fused = train_subspace_centroids(
+        e, "vec_id", "embedding", k=8, subdim=8, m_sub=4, iters=2
+    )
+    for m in range(4):
+        sub = e.selectExpr("vec_id", f"slice(embedding, {m * 8 + 1}, 8) AS sv")
+        solo = train_centroids(sub, "vec_id", "sv", k=8, dim=8, iters=2)
+        assert fused[m] == solo, f"subspace {m} diverged"
