@@ -539,6 +539,69 @@ def q_dedup_suffix_lcp(spark: SparkSession, sf: str) -> DataFrame:
 def suffix_lcp(d: DataFrame, cap: int = _LCP_CAP, pfx: int = _LCP_PFX) -> DataFrame:
     """Suffix-ordering core (semantics in :func:`q_dedup_suffix_lcp`;
     factored out so tests can plant known shared substrings)."""
+    per = _suffix_shared(d, cap, pfx).groupBy("doc_id").agg(F.max("shared").alias("mx"))
+    return per.select(
+        "doc_id",
+        F.when(F.col("mx") >= pfx, F.col("mx")).otherwise(F.lit(0)).cast("long").alias("shared_len"),
+    )
+
+
+_SFX_SPAN_MIN = 16  # minimum shared-region length worth cutting (chars)
+
+
+def q_dedup_suffix_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-exact duplicated REGIONS — the cut-list a curation pass
+    consumes: maximal char intervals of each document that verbatim-match
+    some other document for >= {minlen} chars.
+
+    Every suffix position p with cross-doc shared length s(p) >= {minlen}
+    contributes the interval [p, p+s(p)-1]; the per-doc union of those
+    intervals (interval-union via running-max-end islands) is EXACTLY the
+    set of characters lying inside a >= {minlen}-char cross-doc repeat.
+    The {cap}-char suffix truncation does NOT truncate regions: inside a
+    repeat of length R, interval ends chain past the cap (position p+64's
+    own interval extends the union), so a 500-char repeat emits one
+    [p, p+499] span. Char-granular twin of ``dedup_substring_spans``
+    (token windows); same islands shape, suffix-ordering evidence.
+    """
+    return suffix_spans(tbl(spark, sf, "documents"))
+
+
+def suffix_spans(
+    d: DataFrame, minlen: int = _SFX_SPAN_MIN, cap: int = _LCP_CAP, pfx: int = _LCP_PFX
+) -> DataFrame:
+    """Interval-union core of :func:`q_dedup_suffix_spans`."""
+    s = (
+        _suffix_shared(d, cap, pfx)
+        .where(F.col("shared") >= minlen)
+        .select("doc_id", "pos", (F.col("pos") + F.col("shared") - 1).alias("iv_end"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    s = s.withColumn(
+        "prev_max_end", F.max("iv_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    s = s.withColumn(
+        "new_isl",
+        F.when(
+            F.col("prev_max_end").isNull() | (F.col("pos") > F.col("prev_max_end") + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    s = s.withColumn("grp", F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        s.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("iv_end").cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def _suffix_shared(d: DataFrame, cap: int, pfx: int) -> DataFrame:
+    """Per-suffix cross-doc shared length: (doc_id, pos, shared) where
+    ``shared`` = the longest common prefix (capped at ``cap``) between the
+    suffix starting at ``pos`` and any suffix of a DIFFERENT document."""
     d = d.where(F.length("text") >= 1)
     suf = d.select(
         "doc_id",
@@ -586,15 +649,14 @@ def suffix_lcp(d: DataFrame, cap: int = _LCP_CAP, pfx: int = _LCP_PFX) -> DataFr
     # doc, by run construction) / forward to the next run's first row
     suf = suf.select(
         "doc_id",
+        "pos",
         F.min("lcp_prev").over(w_run.rowsBetween(Window.unboundedPreceding, 0)).alias("back_lcp"),
         F.min("lcp_next").over(w_run.rowsBetween(0, Window.unboundedFollowing)).alias("fwd_lcp"),
     )
-    per = suf.groupBy("doc_id").agg(
-        F.max(F.greatest(F.coalesce("back_lcp", F.lit(0)), F.coalesce("fwd_lcp", F.lit(0)))).alias("mx")
-    )
-    return per.select(
+    return suf.select(
         "doc_id",
-        F.when(F.col("mx") >= pfx, F.col("mx")).otherwise(F.lit(0)).cast("long").alias("shared_len"),
+        "pos",
+        F.greatest(F.coalesce("back_lcp", F.lit(0)), F.coalesce("fwd_lcp", F.lit(0))).alias("shared"),
     )
 
 
@@ -610,6 +672,7 @@ QUERIES = {
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_substring_multi": q_dedup_substring_multi,
     "dedup_suffix_lcp": q_dedup_suffix_lcp,
+    "dedup_suffix_spans": q_dedup_suffix_spans,
 }
 
 
@@ -859,8 +922,9 @@ _DD_LCP = (
     "AND substr({a}, 1, k) = substr({b}, 1, k) THEN k ELSE 0 END))"
 )
 
-ORACLES["dedup_suffix_lcp"] = f"""
-WITH suf AS (
+# common chain ending in shr(doc_id, pos, shared) — the per-suffix cross-doc
+# shared length both suffix queries consume
+_DD_SUFFIX_CTES = f"""suf AS (
   SELECT doc_id, r.i AS pos, substr(text, r.i, {_LCP_CAP}) AS suf
   FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
   WHERE length(text) >= 1
@@ -888,21 +952,50 @@ step AS (
   FROM runs
 ),
 dirs AS (
-  SELECT doc_id,
+  SELECT doc_id, pos,
          min(lcp_prev) OVER (PARTITION BY run ORDER BY suf, doc_id, pos
                              ROWS UNBOUNDED PRECEDING) AS back_lcp,
          min(lcp_next) OVER (PARTITION BY run ORDER BY suf, doc_id, pos
                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_lcp
   FROM step
 ),
-per AS (
-  SELECT doc_id,
-         max(greatest(COALESCE(back_lcp, 0), COALESCE(fwd_lcp, 0))) AS mx
-  FROM dirs GROUP BY doc_id
-)
+shr AS (
+  SELECT doc_id, pos,
+         greatest(COALESCE(back_lcp, 0), COALESCE(fwd_lcp, 0)) AS shared
+  FROM dirs
+)"""
+
+ORACLES["dedup_suffix_lcp"] = f"""
+WITH {_DD_SUFFIX_CTES},
+per AS (SELECT doc_id, max(shared) AS mx FROM shr GROUP BY doc_id)
 SELECT doc_id,
        CAST(CASE WHEN mx >= {_LCP_PFX} THEN mx ELSE 0 END AS BIGINT) AS shared_len
 FROM per
+"""
+
+ORACLES["dedup_suffix_spans"] = f"""
+WITH {_DD_SUFFIX_CTES},
+iv AS (
+  SELECT doc_id, pos, pos + shared - 1 AS iv_end
+  FROM shr WHERE shared >= {_SFX_SPAN_MIN}
+),
+mx AS (
+  SELECT doc_id, pos, iv_end,
+         max(iv_end) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+),
+fl AS (
+  SELECT *, CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS ni FROM mx
+),
+g AS (
+  SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+  FROM fl
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(iv_end) AS BIGINT) AS span_end
+FROM g GROUP BY doc_id, grp
 """
 
 

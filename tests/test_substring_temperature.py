@@ -238,3 +238,27 @@ def test_suffix_lcp_matches_bruteforce(spark):
     d = _docs(spark, list(enumerate(texts)))
     got = {r.doc_id: r.shared_len for r in suffix_lcp(d).collect()}
     assert got == want
+
+
+def test_suffix_spans_char_exact_boundaries(spark):
+    """Duplicated-region cut-list: a planted 120-char cross-doc repeat (well
+    past the 64-char suffix cap) emits ONE span with character-exact
+    boundaries — interval union chains past the cap; repeats under the
+    16-char floor emit nothing."""
+    from levenshtein_spark.driver_queries.dedup import suffix_spans
+
+    rep = ("0123456789abcdef" * 8)[:120]  # alphabet disjoint from filler
+    short = "stuvwstuvw"  # 10 chars, under the floor
+    d = _docs(
+        spark,
+        [
+            (0, "g" * 30 + rep + "h" * 25),
+            (1, "i" * 10 + rep + "j" * 40),
+            (2, "k" * 20 + short + "l" * 20),
+            (3, "m" * 25 + short + "n" * 15),
+            (4, "p" * 50),
+        ],
+    )
+    got = {(r.doc_id, r.span_start, r.span_end) for r in suffix_spans(d).collect()}
+    # 1-based inclusive char positions: doc 0 repeat at 31..150, doc 1 at 11..130
+    assert got == {(0, 31, 150), (1, 11, 130)}
