@@ -457,6 +457,47 @@ def q_sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_curation_cut_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """APPLY the duplicated-region cut-list: rebuild each document's text
+    with every cross-doc verbatim region (``dedup_suffix_spans``) removed —
+    the Lee et al. "dedup at the substring level" step a pretraining
+    pipeline actually executes, as opposed to reporting the spans.
+
+    The reconstruction is one JVM ``aggregate`` fold over the doc's sorted
+    span list (spans per doc are few; the corpus never shuffles beyond the
+    span groupBy), concatenating the kept gaps. Output carries the kept/cut
+    char counts and the md5 of the cleaned text — so the DuckDB twin
+    certifies the exact rebuilt STRING, not just its length.
+    """
+    from levenshtein_spark.driver_queries.dedup import suffix_spans
+
+    d = tbl(spark, sf, "documents")
+    spans = suffix_spans(d)
+    cuts = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("span_start", "span_end"))).alias("cuts")
+    )
+    j = d.select("doc_id", "text").join(cuts, "doc_id", "left")
+    rebuild = (
+        "aggregate(cuts, "
+        "named_struct('prev', CAST(0 AS BIGINT), 'out', ''), "
+        "(acc, s) -> named_struct("
+        "  'prev', s.span_end, "
+        "  'out', concat(acc.out, substring(text, CAST(acc.prev + 1 AS INT), "
+        "                                   CAST(s.span_start - acc.prev - 1 AS INT)))), "
+        "acc -> concat(acc.out, substring(text, CAST(acc.prev + 1 AS INT), "
+        "                                 CAST(length(text) - acc.prev AS INT))))"
+    )
+    j = j.withColumn(
+        "clean", F.when(F.col("cuts").isNull(), F.col("text")).otherwise(F.expr(rebuild))
+    )
+    return j.select(
+        "doc_id",
+        F.length("clean").cast("long").alias("n_kept"),
+        (F.length("text") - F.length("clean")).cast("long").alias("n_cut"),
+        F.md5("clean").alias("clean_md5"),
+    )
+
+
 QUERIES = {
     "sample_split": q_sample_split,
     "sample_temperature": q_sample_temperature,
@@ -469,6 +510,7 @@ QUERIES = {
     "text_redact_pii": q_text_redact_pii,
     "code_clones_type2": q_code_clones_type2,
     "code_clones_type3": q_code_clones_type3,
+    "curation_cut_spans": q_curation_cut_spans,
 }
 
 
@@ -688,3 +730,44 @@ SELECT d.doc_id, d.lang, r.n_d, r.p_keep,
 FROM documents d JOIN rates r USING (lang)
 """,
 }
+
+
+def _dd_cut_spans_sql() -> str:
+    """Twin of q_curation_cut_spans: re-derives the span table via the
+    suffix-chain CTEs, then rebuilds the cleaned string as an ordered
+    string_agg of the kept gaps (mid pieces between spans + the tail)."""
+    from levenshtein_spark.driver_queries.dedup import _DD_SUFFIX_SPANS_CTES
+
+    return f"""
+WITH {_DD_SUFFIX_SPANS_CTES},
+sp AS (
+  SELECT doc_id, span_start, span_end,
+         COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS prev_end
+  FROM spans
+),
+pieces AS (
+  SELECT sp.doc_id,
+         substr(d.text, CAST(sp.prev_end + 1 AS INT),
+                CAST(sp.span_start - sp.prev_end - 1 AS INT)) AS piece,
+         sp.span_start AS ord
+  FROM sp JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT d.doc_id, substr(d.text, CAST(COALESCE(m.max_e, 0) + 1 AS INT)) AS piece,
+         2147483647 AS ord
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, max(span_end) AS max_e FROM spans GROUP BY doc_id) m
+    USING (doc_id)
+  WHERE length(d.text) >= 1
+),
+clean AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ct FROM pieces GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(length(c.ct) AS BIGINT) AS n_kept,
+       CAST(length(d.text) - length(c.ct) AS BIGINT) AS n_cut,
+       md5(c.ct) AS clean_md5
+FROM clean c JOIN documents d USING (doc_id)
+"""
+
+
+ORACLES["curation_cut_spans"] = _dd_cut_spans_sql()

@@ -973,8 +973,9 @@ SELECT doc_id,
 FROM per
 """
 
-ORACLES["dedup_suffix_spans"] = f"""
-WITH {_DD_SUFFIX_CTES},
+# extends the chain to spans(doc_id, span_start, span_end) — the interval
+# union; also imported by the curation twin that cuts the spans back out
+_DD_SUFFIX_SPANS_CTES = f"""{_DD_SUFFIX_CTES},
 iv AS (
   SELECT doc_id, pos, pos + shared - 1 AS iv_end
   FROM shr WHERE shared >= {_SFX_SPAN_MIN}
@@ -991,11 +992,17 @@ fl AS (
 g AS (
   SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
   FROM fl
-)
-SELECT doc_id,
-       CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(iv_end) AS BIGINT) AS span_end
-FROM g GROUP BY doc_id, grp
+),
+spans AS (
+  SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(iv_end) AS BIGINT) AS span_end
+  FROM g GROUP BY doc_id, grp
+)"""
+
+ORACLES["dedup_suffix_spans"] = f"""
+WITH {_DD_SUFFIX_SPANS_CTES}
+SELECT doc_id, span_start, span_end FROM spans
 """
 
 

@@ -96,3 +96,28 @@ def test_stratified_exact_k_and_determinism(spark):
     # pure function of the data: two runs pick identical ids
     ids = lambda df: sorted((r.lang, r.doc_id) for r in df.collect())
     assert ids(a) == ids(q_sample_stratified(spark, SF))
+
+
+def test_cut_spans_rebuilds_expected_text(spark, tmp_path):
+    """Applying the duplicated-region cut-list: the planted cross-doc repeat
+    is excised exactly (n_cut = repeat length, md5 matches the hand-built
+    cleaned string); documents without a >= 16-char repeat pass through
+    byte-identical."""
+    from levenshtein_spark.driver_queries.curation import q_curation_cut_spans
+
+    rep = "0123456789abcdefghij"  # 20 chars, alphabet disjoint from filler
+    t0 = "x" * 12 + rep + "y" * 9
+    t1 = "w" * 7 + rep + "v" * 14
+    t2 = "unique document with no long repeats at all"
+    rows = [(0, t0, "en", "s", len(t0)), (1, t1, "en", "s", len(t1)),
+            (2, t2, "en", "s", len(t2))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r.doc_id: r for r in q_curation_cut_spans(spark, str(tmp_path)).collect()}
+    assert got[0].n_cut == 20 and got[1].n_cut == 20
+    assert got[0].clean_md5 == hashlib.md5(("x" * 12 + "y" * 9).encode()).hexdigest()
+    assert got[1].clean_md5 == hashlib.md5(("w" * 7 + "v" * 14).encode()).hexdigest()
+    assert got[2].n_cut == 0
+    assert got[2].clean_md5 == hashlib.md5(t2.encode()).hexdigest()
