@@ -457,6 +457,70 @@ def q_sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# HyperLogLog shape: 60-bit portable hash = 6 bucket bits + 54-bit rho
+# window; rho in [1, 55]; registers scale-exactly into 2^(55-M) BIGINTs so
+# the harmonic sum is INTEGER-exact (no float-order dependence) and the
+# estimate is one correctly-rounded divide in both engines.
+_HLL_M = 64
+_HLL_RHO_MAX = 55
+_HLL_SCALE = 1 << 55
+_HLL_NUM = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(_HLL_SCALE)
+
+
+def q_corpus_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language distinct-token count TWO ways: exact, and the
+    HyperLogLog estimate from a 64-register sketch over the portable 60-bit
+    hash — the MERGEABLE way to count distincts at corpus scale (registers
+    combine by max across partitions, shards, and days; the exact count
+    needs a full distinct shuffle of every token).
+
+    Exactness discipline: rho comes from integer bit-length (``bin``), the
+    harmonic sum is the exact integer Σ 2^({rho_max}-M_j) (absent registers
+    contribute 2^{rho_max}), and the estimate is a single divide of a
+    Python-precomputed constant — so the DuckDB twin reproduces the
+    ESTIMATE bit-for-bit, certifying every register. No small-range
+    ``ln`` correction (engine libm ulps differ); the raw estimate plus the
+    zero-register count is emitted so callers can apply their own.
+    """
+    d = tbl(spark, sf, "documents")
+    toks = d.select("lang", F.explode(word_tokens(F.col("text"))).alias("tok"))
+    t = toks.select("lang", "tok", hash64(F.col("tok")).alias("h"))
+    t = t.select(
+        "lang",
+        "tok",
+        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("bucket"),
+        F.expr(f"h div {_HLL_M}").alias("rest"),
+    )
+    t = t.withColumn(
+        "rho",
+        F.when(F.col("rest") == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+            F.lit(_HLL_RHO_MAX) - F.length(F.bin("rest"))
+        ),
+    )
+    regs = t.groupBy("lang", "bucket").agg(F.max("rho").alias("M"))
+    per = regs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RHO_MAX} - M AS INT))")
+        ).alias("s_present"),
+    )
+    per = per.select(
+        "lang",
+        (F.lit(_HLL_M) - F.col("cnt")).cast("long").alias("v_zero"),
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("cnt")) * F.lit(_HLL_SCALE)
+        ).alias("s_total"),
+    )
+    exact = toks.groupBy("lang").agg(F.countDistinct("tok").alias("n_exact"))
+    return per.join(exact, "lang").select(
+        "lang",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        "v_zero",
+        F.round(F.lit(_HLL_NUM) / F.col("s_total").cast("double"), 6).alias("hll_est"),
+    )
+
+
 def q_curation_cut_spans(spark: SparkSession, sf: str) -> DataFrame:
     """APPLY the duplicated-region cut-list: rebuild each document's text
     with every cross-doc verbatim region (``dedup_suffix_spans``) removed —
@@ -511,6 +575,7 @@ QUERIES = {
     "code_clones_type2": q_code_clones_type2,
     "code_clones_type3": q_code_clones_type3,
     "curation_cut_spans": q_curation_cut_spans,
+    "corpus_hll_distinct": q_corpus_hll_distinct,
 }
 
 
@@ -771,3 +836,35 @@ FROM clean c JOIN documents d USING (doc_id)
 
 
 ORACLES["curation_cut_spans"] = _dd_cut_spans_sql()
+
+
+ORACLES["corpus_hll_distinct"] = f"""
+WITH toks AS (
+  SELECT lang, unnest({_DD_WORDS}) AS tok FROM documents
+),
+h AS (
+  SELECT lang, tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+rb AS (
+  SELECT lang, tok, h % {_HLL_M} AS bucket, h // {_HLL_M} AS rest FROM h
+),
+rr AS (
+  SELECT lang, bucket,
+         CASE WHEN rest = 0 THEN {_HLL_RHO_MAX}
+              ELSE {_HLL_RHO_MAX} - length(bin(rest)) END AS rho
+  FROM rb
+),
+regs AS (SELECT lang, bucket, max(rho) AS M FROM rr GROUP BY lang, bucket),
+per AS (
+  SELECT lang, count(*) AS cnt,
+         sum((1::BIGINT << CAST({_HLL_RHO_MAX} - M AS INT))) AS s_present
+  FROM regs GROUP BY lang
+),
+ex AS (SELECT lang, count(DISTINCT tok) AS n_exact FROM toks GROUP BY lang)
+SELECT p.lang,
+       CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST({_HLL_M} - p.cnt AS BIGINT) AS v_zero,
+       round({_HLL_NUM!r} / CAST(p.s_present + ({_HLL_M} - p.cnt) * {_HLL_SCALE} AS DOUBLE), 6)
+         AS hll_est
+FROM per p JOIN ex e USING (lang)
+"""

@@ -121,3 +121,27 @@ def test_cut_spans_rebuilds_expected_text(spark, tmp_path):
     assert got[1].clean_md5 == hashlib.md5(("w" * 7 + "v" * 14).encode()).hexdigest()
     assert got[2].n_cut == 0
     assert got[2].clean_md5 == hashlib.md5(t2.encode()).hexdigest()
+
+
+def test_hll_estimate_accuracy_and_registers(spark, tmp_path):
+    """HLL sketch: on a ~3000-token vocabulary the 64-register estimate
+    lands within the expected error band (std error ~ 1.04/sqrt(64) = 13%;
+    assert 3 sigma), all registers fill, and a tiny vocabulary keeps most
+    registers at zero — the two regimes a mergeable distinct sketch must
+    separate."""
+    from levenshtein_spark.driver_queries.curation import q_corpus_hll_distinct
+
+    big = " ".join(f"tok{i}" for i in range(3000))
+    rows = [(i, big, "en", "s", len(big)) for i in range(3)]  # dup docs: same distinct set
+    rows += [(10 + i, "alpha beta gamma", "zh", "s", 16) for i in range(4)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r.lang: r for r in q_corpus_hll_distinct(spark, str(tmp_path)).collect()}
+    en, zh = got["en"], got["zh"]
+    assert en.n_exact == 3000  # 'tok0'..'tok2999'; duplicate docs add no new tokens
+    assert en.v_zero == 0
+    assert abs(en.hll_est - en.n_exact) / en.n_exact < 0.39  # 3 sigma at m=64
+    assert zh.n_exact == 3
+    assert zh.v_zero >= 60  # 3 distinct tokens fill at most 3 registers

@@ -262,3 +262,53 @@ def test_suffix_spans_char_exact_boundaries(spark):
     got = {(r.doc_id, r.span_start, r.span_end) for r in suffix_spans(d).collect()}
     # 1-based inclusive char positions: doc 0 repeat at 31..150, doc 1 at 11..130
     assert got == {(0, 31, 150), (1, 11, 130)}
+
+
+def test_suffix_spans_match_bruteforce_union(spark):
+    """Dense-overlap property: on a tiny-alphabet corpus the span table
+    equals the brute-force union of all >= minlen cross-doc repeat
+    intervals (per-position max shared length, capped at 64, interval
+    union in Python)."""
+    import random
+
+    from levenshtein_spark.driver_queries.dedup import suffix_spans
+
+    rng = random.Random(7)
+    texts = ["".join(rng.choice("ab") for _ in range(60)) for _ in range(6)]
+    minlen = 8
+
+    def shared_at(i: int, p: int) -> int:
+        a = texts[i]
+        best = 0
+        for j, b in enumerate(texts):
+            if j == i:
+                continue
+            for q in range(len(b)):
+                k = 0
+                while (p + k < len(a) and q + k < len(b) and k < 64
+                       and a[p + k] == b[q + k]):
+                    k += 1
+                best = max(best, k)
+        return best
+
+    want = set()
+    for i in range(len(texts)):
+        covered = set()
+        for p in range(len(texts[i])):
+            s = shared_at(i, p)
+            if s >= minlen:
+                covered.update(range(p, p + s))
+        # contiguous runs of covered positions -> (start, end), 1-based
+        run = None
+        for p in sorted(covered) + [10**9]:
+            if run and p == run[1] + 1:
+                run = (run[0], p)
+            else:
+                if run:
+                    want.add((i, run[0] + 1, run[1] + 1))
+                run = (p, p) if p < 10**9 else None
+
+    d = _docs(spark, list(enumerate(texts)))
+    got = {(r.doc_id, r.span_start, r.span_end)
+           for r in suffix_spans(d, minlen=minlen).collect()}
+    assert got == want
