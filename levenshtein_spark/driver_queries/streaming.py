@@ -532,3 +532,129 @@ GROUP BY a.doc_id
 
 
 ORACLES["streaming_dedup"] = _streaming_dedup_oracle()
+
+
+_HLL_SINK = "streaming_hll_mem"
+
+
+def q_streaming_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-token sketch ON INGEST: the 64-register HyperLogLog of
+    ``corpus_hll_distinct`` maintained as a streaming aggregation — register
+    state is ``max(rho)`` per (lang, bucket), so the ENTIRE state is
+    langs x 64 longs no matter how many tokens stream through. That bounded
+    max-combine state is exactly why a production pipeline keeps sketches
+    instead of exact distinct counts: the exact count needs unbounded
+    distinct state; the sketch merges across micro-batches, shards, and
+    days for free.
+
+    Rho derivation is stateless codegen in-stream (portable hash,
+    bucket/rest split, integer bit-length); the ONLY stateful operator is
+    the register max. Registers finalize batch-side into the same
+    integer-exact harmonic sum as the batch query, so the estimate is
+    bit-identical to running the sketch over the lake at rest — which is
+    what the DuckDB twin certifies.
+    """
+    from levenshtein_spark.driver_queries.curation import (
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_RHO_MAX,
+        _HLL_SCALE,
+    )
+    from levenshtein_spark.functions.hashing import hash64
+    from levenshtein_spark.functions.text import word_tokens
+
+    batch = tbl(spark, sf, "documents")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf)
+    )
+    t = stream.select(
+        "lang", F.explode(word_tokens(F.col("text"))).alias("tok")
+    ).select("lang", hash64(F.col("tok")).alias("h"))
+    t = t.select(
+        "lang",
+        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("bucket"),
+        F.expr(f"h div {_HLL_M}").alias("rest"),
+    )
+    t = t.select(
+        "lang",
+        "bucket",
+        F.when(F.col("rest") == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+            F.lit(_HLL_RHO_MAX) - F.length(F.bin("rest"))
+        ).alias("rho"),
+    )
+    regs = t.groupBy("lang", "bucket").agg(F.max("rho").alias("M"))
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(_HLL_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_hll did not drain within 300s")
+    per = spark.table(_HLL_SINK).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RHO_MAX} - M AS INT))")
+        ).alias("s_present"),
+    )
+    return per.select(
+        "lang",
+        (F.lit(_HLL_M) - F.col("cnt")).cast("long").alias("v_zero"),
+        F.round(
+            F.lit(_HLL_NUM)
+            / (
+                F.col("s_present") + (F.lit(_HLL_M) - F.col("cnt")) * F.lit(_HLL_SCALE)
+            ).cast("double"),
+            6,
+        ).alias("hll_est"),
+    )
+
+
+QUERIES["streaming_hll"] = q_streaming_hll
+
+
+def _streaming_hll_oracle() -> str:
+    from levenshtein_spark.driver_queries.curation import (
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_RHO_MAX,
+        _HLL_SCALE,
+        _DD_WORDS,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest({_DD_WORDS}) AS tok FROM documents
+),
+h AS (
+  SELECT lang, tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+rb AS (
+  SELECT lang, h % {_HLL_M} AS bucket, h // {_HLL_M} AS rest FROM h
+),
+rr AS (
+  SELECT lang, bucket,
+         CASE WHEN rest = 0 THEN {_HLL_RHO_MAX}
+              ELSE {_HLL_RHO_MAX} - length(bin(rest)) END AS rho
+  FROM rb
+),
+regs AS (SELECT lang, bucket, max(rho) AS M FROM rr GROUP BY lang, bucket),
+per AS (
+  SELECT lang, count(*) AS cnt,
+         sum((1::BIGINT << CAST({_HLL_RHO_MAX} - M AS INT))) AS s_present
+  FROM regs GROUP BY lang
+)
+SELECT lang,
+       CAST({_HLL_M} - cnt AS BIGINT) AS v_zero,
+       round({_HLL_NUM!r} / CAST(s_present + ({_HLL_M} - cnt) * {_HLL_SCALE} AS DOUBLE), 6)
+         AS hll_est
+FROM per
+"""
+
+
+ORACLES["streaming_hll"] = _streaming_hll_oracle()
