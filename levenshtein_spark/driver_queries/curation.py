@@ -868,3 +868,188 @@ SELECT p.lang,
          AS hll_est
 FROM per p JOIN ex e USING (lang)
 """
+
+
+def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """THE COMPOSED PRODUCT PATH, certified per-document: the exact stage
+    flow of ``plans/curation.py`` (jobs/curate.py) — profile → quality gate
+    → exact dedup → MinHash near-dup collapse → hash splits → token-budget
+    shard packing — re-expressed as one query whose output row per document
+    is its final disposition: ``status`` in {low_quality, exact_dup,
+    near_dup, kept}, plus the split and shard assignment for kept docs.
+
+    The DuckDB twin recomputes every stage independently (quality math,
+    top-word fraction, md5 groups, band keys, Jaccard verify, recursive-CTE
+    transitive closure, hash splits, per-split prefix-sum packing), so the
+    hash match certifies the PIPELINE COMPOSITION, not just each operator —
+    the strongest single correctness pin on the thing the spark-submit job
+    actually ships. Stage semantics and config mirror CurationConfig's
+    defaults (quality ≥ 0.4, top-word ≤ 0.5, Jaccard ≥ 0.8, 80/10/10,
+    budget 2048); the Jaccard compare uses the registry's proven
+    round-to-6 discipline.
+    """
+    from levenshtein_spark.functions.hashing import hash_bucket, minhash_band_table
+    from levenshtein_spark.functions.text import quality_score, word_bigrams
+    from levenshtein_spark.operators.clustering import cluster_labels
+    from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
+    from levenshtein_spark.operators.packing import pack_by_budget
+    from levenshtein_spark.session import scoped_persist
+
+    d = tbl(spark, sf, "documents")
+    topw = (
+        d.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"))
+    )
+    prof = (
+        d.select(
+            "doc_id",
+            "text",
+            F.md5("text").alias("fp"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .join(topw, "doc_id", "left")
+        .withColumn("top_word_frac", F.coalesce("top_word_frac", F.lit(0.0)))
+        .transform(scoped_persist)
+    )
+    passed = (F.col("quality") >= 0.4) & (F.col("top_word_frac") <= 0.5)
+    kept = prof.where(passed)
+    exact_min = kept.groupBy("fp").agg(F.min("doc_id").alias("canon_fp"))
+    kept2 = kept.join(exact_min, "fp").transform(scoped_persist)
+    reps = kept2.where(F.col("doc_id") == F.col("canon_fp"))
+
+    bands = minhash_band_table(
+        reps, "doc_id", word_bigrams(F.col("text")), 8, 4
+    ).select(F.col("band_key").alias("block_key"), "id")
+    pairs = candidate_pairs(bands, hot_threshold=2000, num_salts=16).drop("n_keys")
+    grams = reps.select(
+        F.col("doc_id").alias("id"), F.array_distinct(word_bigrams(F.col("text"))).alias("g")
+    )
+    fat = attach_pair_payload(pairs, grams, ["g"])
+    jac = F.round(
+        F.size(F.array_intersect("g_a", "g_b")).cast("double")
+        / F.size(F.array_union("g_a", "g_b")),
+        6,
+    )
+    edges = fat.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), jac.alias("j")
+    ).where(F.col("j") >= 0.8).drop("j")
+    lab = cluster_labels(reps.select(F.col("doc_id").alias("id")), edges).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+    canon = lab.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    splits = canon.join(kept2.select("doc_id", "n_tokens"), "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.when(hash_bucket(F.col("doc_id")) < 80, "train")
+        .when(hash_bucket(F.col("doc_id")) < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    packed = pack_by_budget(
+        splits, ["doc_id"], "n_tokens", 2048, group_cols=["split"]
+    ).select("doc_id", "split", "shard_id")
+
+    full = (
+        prof.select("doc_id", passed.alias("passed"))
+        .join(kept2.select("doc_id", "canon_fp"), "doc_id", "left")
+        .join(lab, "doc_id", "left")
+    )
+    status = (
+        F.when(~F.col("passed"), F.lit("low_quality"))
+        .when(F.col("doc_id") != F.col("canon_fp"), F.lit("exact_dup"))
+        .when(F.col("cluster_id") != F.col("doc_id"), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        full.select("doc_id", status.alias("status"))
+        .join(packed, "doc_id", "left")
+        .select("doc_id", "status", "split", F.col("shard_id").cast("long").alias("shard_id"))
+    )
+
+
+QUERIES["curation_funnel"] = q_curation_funnel
+
+
+def _dd_funnel_sql() -> str:
+    """Twin of q_curation_funnel — every stage recomputed independently."""
+    from levenshtein_spark.driver_queries.dedup import _DD_BIGRAMS, _dd_minhash_keys_sql
+    from levenshtein_spark.driver_queries.text import _DD_QUALITY
+
+    keys = _dd_minhash_keys_sql(table_sql="reps")
+    return f"""
+WITH RECURSIVE
+topw AS (
+  SELECT doc_id, max(c) * 1.0 / sum(c) AS top_word_frac
+  FROM (SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest({_DD_WORDS}) AS w FROM documents) tw
+        GROUP BY doc_id, w) tc
+  GROUP BY doc_id
+),
+prof AS (
+  SELECT d.doc_id, d.text, md5(d.text) AS fp,
+         CAST(len({_DD_WS}) AS BIGINT) AS n_tokens,
+         {_DD_QUALITY} AS quality,
+         COALESCE(t.top_word_frac, 0.0) AS top_word_frac
+  FROM documents d LEFT JOIN topw t USING (doc_id)
+),
+kept AS (SELECT * FROM prof WHERE quality >= 0.4 AND top_word_frac <= 0.5),
+exact_min AS (SELECT fp, min(doc_id) AS canon_fp FROM kept GROUP BY fp),
+kept2 AS (SELECT k.*, e.canon_fp FROM kept k JOIN exact_min e USING (fp)),
+reps AS (SELECT * FROM kept2 WHERE doc_id = canon_fp),
+keys AS ({keys}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM keys l JOIN keys r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+grams AS (SELECT doc_id, list_distinct({_DD_BIGRAMS}) AS g FROM reps),
+edges AS (
+  SELECT c.doc_a AS src, c.doc_b AS dst
+  FROM cand c
+  JOIN grams a ON a.doc_id = c.doc_a
+  JOIN grams b ON b.doc_id = c.doc_b
+  WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) >= 0.8
+),
+und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+reach(root, node) AS (
+  SELECT doc_id, doc_id FROM reps
+  UNION
+  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node
+),
+lab AS (SELECT root AS doc_id, min(node) AS cluster_id FROM reach GROUP BY root),
+canon AS (SELECT doc_id FROM lab WHERE doc_id = cluster_id),
+splits AS (
+  SELECT c.doc_id, k.n_tokens, {_dd_split_case()} AS split
+  FROM canon c JOIN kept2 k USING (doc_id)
+),
+packed AS (
+  SELECT doc_id, split,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id)
+                     - n_tokens) / 2048) AS BIGINT) AS shard_id
+  FROM splits
+),
+st AS (
+  SELECT p.doc_id,
+         CASE WHEN NOT (p.quality >= 0.4 AND p.top_word_frac <= 0.5) THEN 'low_quality'
+              WHEN k.doc_id IS NOT NULL AND k.doc_id <> k.canon_fp THEN 'exact_dup'
+              WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> p.doc_id THEN 'near_dup'
+              ELSE 'kept' END AS status
+  FROM prof p
+  LEFT JOIN kept2 k USING (doc_id)
+  LEFT JOIN lab l USING (doc_id)
+)
+SELECT s.doc_id, s.status, pk.split, pk.shard_id
+FROM st s LEFT JOIN packed pk USING (doc_id)
+"""
+
+
+ORACLES["curation_funnel"] = _dd_funnel_sql()
