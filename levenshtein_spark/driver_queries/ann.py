@@ -424,6 +424,121 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return _pq_adc_rank(cand, probes, cb, _TOP_K)
 
 
+def q_ann_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the composition FAISS actually
+    ships: PQ quantizes ``x − centroid(cell(x))`` instead of the raw
+    vector. Residuals have far smaller variance than raw vectors (the
+    coarse quantizer has already explained the cell-level structure), so
+    the same 4×16 codebook budget spends its codewords on the fine detail
+    — the standard accuracy upgrade over ``ann_ivfpq_topk``'s raw-vector
+    encoding, kept alongside it so the two variants stay comparable.
+
+    Scoring uses the inner-product decomposition
+    ``dot(q, x) = dot(q, c) + dot(q, r)``: the exact ``dot(q, c)`` term
+    rides the probe-cell table (n_probe rows per query), and the residual
+    term is the usual ADC table lookup against the residual-trained
+    codebook. All float ops stay fixed-order (left-fold dots, one
+    left-associative 5-term sum), so the DuckDB twin — which re-derives
+    the IVF centroids, the SAME residuals, and the residual-trained
+    sub-codebooks through the unrolled Lloyd's CTE chains — reproduces the
+    scores bit-for-bit.
+
+    Scale shape: residual computation is one broadcast join + zip_with
+    (no shuffle); training is the fused one-pass-per-iteration trainer;
+    candidates carry 4 code bytes plus one double.
+    """
+    from levenshtein_spark.operators.kmeans import (
+        assign_cells,
+        l2_score,
+        train_subspace_centroids,
+    )
+
+    e = tbl(spark, sf, "embeddings")
+    cent = _trained_ivf_cent(e)
+    cells = assign_cells(e, cent, "vec_id", "embedding")
+    centc = cent.select(F.col("cid").alias("cell"), "cvec")
+    resid = (
+        cells.join(e, "vec_id")
+        .join(F.broadcast(centc), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "embedding", "cvec", lambda x, c: x.cast("double") - c
+            ).alias("resid"),
+        )
+        .transform(scoped_persist)
+    )
+    cents_by_m = train_subspace_centroids(
+        resid, "vec_id", "resid",
+        _PQ_K, subdim=_PQ_SUBDIM, m_sub=_PQ_M, iters=_KM_ITERS, quant=_KM_QUANT,
+    )
+    cb = spark.createDataFrame(
+        [(m, cid, cv) for m, rows in cents_by_m.items() for cid, cv in rows],
+        "m int, code long, cvec array<double>",
+    ).transform(scoped_persist)
+
+    all_subs = F.array(
+        *[F.slice(F.col("resid"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)]
+    )
+    subs = resid.select("vec_id", F.posexplode(all_subs).alias("m", "xv"))
+    scored = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "code", dot(F.col("xv"), F.col("cvec")).alias("d")
+    )
+    codes = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.max(F.struct(F.col("d"), (-F.col("code")).alias("nc"))).alias("mx"))
+        .select("vec_id", "m", (-F.col("mx.nc")).alias("code"))
+    )
+    codes_w = codes.groupBy("vec_id").agg(
+        *[F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}") for m in range(_PQ_M)]
+    )
+
+    probes = e.where(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    pscored = probes.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "cid",
+        l2_score(F.col("q"), F.col("cvec")).alias("s"),
+        dot(F.col("q"), F.col("cvec")).alias("qc"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "cid")
+    probe_cells = (
+        pscored.withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select("query_id", F.col("cid").alias("cell"), "qc")
+    )
+    members = cells.join(codes_w, "vec_id")
+    cand = probe_cells.join(members, "cell").select(
+        "query_id", "vec_id", "qc", *[f"c{m}" for m in range(_PQ_M)]
+    )
+    for m in range(_PQ_M):
+        t = probes.join(F.broadcast(cb.where(F.col("m") == m)), F.lit(True)).select(
+            F.col("query_id").alias(f"q{m}"),
+            F.col("code").alias(f"c{m}_k"),
+            dot(_pq_sub(F.col("q"), m), F.col("cvec")).alias(f"part{m}"),
+        )
+        cand = cand.join(
+            F.broadcast(t),
+            (F.col("query_id") == F.col(f"q{m}")) & (F.col(f"c{m}") == F.col(f"c{m}_k")),
+        )
+    score = F.col("qc")
+    for m in range(_PQ_M):
+        score = score + F.col(f"part{m}")
+    cand = cand.where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(score, 6).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_score").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "adc_score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 _CELL_SAMPLE_R = 5
 
 
@@ -526,6 +641,7 @@ QUERIES = {
     "kmeans_cells": q_kmeans_cells,
     "kmeans_cell_sample": q_kmeans_cell_sample,
     "dedup_semantic": q_dedup_semantic,
+    "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
 }
 
 # -- DuckDB twins -------------------------------------------------------------
@@ -939,4 +1055,95 @@ SELECT cell, vec_id, rk FROM (
                             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
   FROM final_assign) t
 WHERE rk <= {_CELL_SAMPLE_R}
+"""
+
+
+def _dd_rpq_cb_ctes() -> str:
+    """CTE fragments training the residual sub-codebooks + final ``rcb``."""
+    parts = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, m * _PQ_SUBDIM + _PQ_SUBDIM
+        parts += _dd_kmeans_ctes(
+            f"rpq{m}",
+            f"SELECT vec_id, resid[{lo}:{hi}] AS v FROM resid",
+            _PQ_K,
+            _PQ_SUBDIM,
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {m} AS m, cid AS code, cvec FROM rpq{m}_cent{_KM_ITERS}"
+        for m in range(_PQ_M)
+    )
+    parts.append(f"rcb AS ({union})")
+    return ",\n".join(parts)
+
+
+ORACLES["ann_ivfpq_residual_topk"] = f"""
+WITH ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+{_DD_IVF_CENT},
+{_DD_KM_FINAL_ASSIGN},
+resid AS (
+  SELECT f.vec_id, f.cell,
+         list_transform(range(1, {_DIM} + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) AS resid
+  FROM final_assign f
+  JOIN embeddings e USING (vec_id)
+  JOIN cent c ON c.cid = f.cell
+),
+{_dd_rpq_cb_ctes()},
+subs AS (
+  SELECT vec_id, ms.m AS m,
+         resid[ms.m * {_PQ_SUBDIM} + 1 : ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS xv
+  FROM resid, ms
+),
+pq_scored AS (
+  SELECT s.vec_id, s.m, c.code, {_DD_PQ_DOT.format(a='s.xv', b='c.cvec')} AS d
+  FROM subs s JOIN rcb c ON c.m = s.m
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d DESC, code) AS rn
+    FROM pq_scored) t WHERE rn = 1
+),
+codes_w AS (
+  SELECT vec_id,
+         {", ".join(f"max(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(_PQ_M))}
+  FROM codes GROUP BY vec_id
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < {_N_PROBES}
+),
+probe_cells AS (
+  SELECT query_id, cell, qc FROM (
+    SELECT p.query_id, c.cid AS cell,
+           {_DD_DOT.format(a='p.q', b='c.cvec')} AS qc,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {_dd_l2_score('p.q', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM probes p CROSS JOIN cent c) t WHERE rn <= {_IVF_NPROBE}
+),
+adc AS (
+  SELECT p.query_id, c.m, c.code,
+         {_DD_PQ_DOT.format(a="p.q[c.m * %d + 1 : c.m * %d + %d]" % (_PQ_SUBDIM, _PQ_SUBDIM, _PQ_SUBDIM), b='c.cvec')} AS part
+  FROM probes p, rcb c
+),
+cand AS (
+  SELECT pc.query_id, w.vec_id AS neighbor_id,
+         ((((pc.qc + a0.part) + a1.part) + a2.part) + a3.part) AS adc
+  FROM probe_cells pc
+  JOIN final_assign fa ON fa.cell = pc.cell
+  JOIN codes_w w ON w.vec_id = fa.vec_id
+  {" ".join(
+      f"JOIN adc a{m} ON a{m}.query_id = pc.query_id AND a{m}.m = {m} AND a{m}.code = w.c{m}"
+      for m in range(_PQ_M)
+  )}
+  WHERE w.vec_id <> pc.query_id
+)
+SELECT query_id, neighbor_id, round(adc, 6) AS adc_score, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(adc, 6) DESC, neighbor_id) AS rank
+  FROM cand) t
+WHERE rank <= {_TOP_K}
 """
