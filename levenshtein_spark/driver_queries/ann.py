@@ -455,7 +455,9 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     e = tbl(spark, sf, "embeddings")
     cent = _trained_ivf_cent(e)
-    cells = assign_cells(e, cent, "vec_id", "embedding")
+    # persisted: consumed by the residual build AND the probe-cell member
+    # join — without it the O(N·K·d) assignment argmax runs twice
+    cells = assign_cells(e, cent, "vec_id", "embedding").transform(scoped_persist)
     centc = cent.select(F.col("cid").alias("cell"), "cvec")
     resid = (
         cells.join(e, "vec_id")

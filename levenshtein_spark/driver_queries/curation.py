@@ -822,7 +822,6 @@ pieces AS (
   FROM documents d
   LEFT JOIN (SELECT doc_id, max(span_end) AS max_e FROM spans GROUP BY doc_id) m
     USING (doc_id)
-  WHERE length(d.text) >= 1
 ),
 clean AS (
   SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ct FROM pieces GROUP BY doc_id

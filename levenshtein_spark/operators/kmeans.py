@@ -94,6 +94,12 @@ def train_subspace_centroids(
         .select(F.col(id_col).cast("long"), vec_col)
         .collect()
     )
+    if len(init) < k:
+        raise ValueError(
+            f"codebook init needs ids 0..{k - 1} present in the training frame "
+            f"(got {len(init)}); when training on a sample, reassign ids first "
+            "(e.g. row_number over a deterministic order)"
+        )
     init_rows = sorted((int(r[0]), [float(x) for x in r[1]]) for r in init)
     cents: dict[int, list[tuple[int, list[float]]]] = {
         m: [(cid, full[m * subdim : (m + 1) * subdim]) for cid, full in init_rows]
@@ -163,6 +169,12 @@ def train_centroids(
         .select(F.col(id_col).cast("long"), vec_col)
         .collect()
     )
+    if len(init) < k:
+        raise ValueError(
+            f"codebook init needs ids 0..{k - 1} present in the training frame "
+            f"(got {len(init)}); when training on a sample, reassign ids first "
+            "(e.g. row_number over a deterministic order)"
+        )
     cents: list[tuple[int, list[float]]] = sorted(
         (int(r[0]), [float(x) for x in r[1]]) for r in init
     )

@@ -40,25 +40,24 @@ from levenshtein_spark.functions.distance import bounded_edit_dist, bounded_edit
 DEFAULT_K_CONTENT = 8
 DEFAULT_K_PATH = 4
 
-# Unit Separator: cannot appear in sha256 hex; length-safe delimiter for the
-# coalesced path_base (NULL scores identically to '' — the kernel treats
-# both as empty, tests/test_scoring_memoize.py pins it)
-_MEMO_SEP = "\x1f"
-
-
 def _memo_key() -> F.Column:
     """sha256 value key over the fuzzy branch's score-relevant payload.
 
     (sha_a, sha_b) determines (content_prefix_a, content_prefix_b) — the
     prefix is a function of content — so the key hashes the shas (fixed
-    64-char, never NULL) plus the coalesced path bases."""
+    64-char, never NULL) plus the path bases. Every component is a
+    FIXED-WIDTH hex digest before concatenation: a delimiter would be
+    ambiguous the moment a path contains it (any byte is legal in a POSIX
+    path), and an ambiguous boundary lets two distinct payloads share a
+    memo key and one pair silently inherit the other's path_dist.
+    NULL and '' path bases deliberately coincide — the kernel treats both
+    as empty (pinned in tests/test_scoring_memoize.py)."""
     return F.sha2(
-        F.concat_ws(
-            _MEMO_SEP,
+        F.concat(
             F.col("sha_a"),
             F.col("sha_b"),
-            F.coalesce(F.col("path_base_a"), F.lit("")),
-            F.coalesce(F.col("path_base_b"), F.lit("")),
+            F.md5(F.coalesce(F.col("path_base_a"), F.lit(""))),
+            F.md5(F.coalesce(F.col("path_base_b"), F.lit(""))),
         ),
         256,
     )

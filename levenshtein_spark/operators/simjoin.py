@@ -210,6 +210,17 @@ def similarity_candidate_blocks(
             + 1
         )
         gram_side = slim.where(F.col("__len") >= l_star)
+        # Lossless guard: a gram-side string with FEWER THAN q CHARACTERS
+        # (possible when multi-byte chars inflate byte length past the band
+        # cutoff at q >= 3) has NO positional q-grams and would carry zero
+        # keys — its qualifying pairs would silently vanish. The prefix
+        # lemma has nothing to offer such strings, so the only lossless
+        # route is pure banding for the whole join. Unreachable at the
+        # default q=2 on any corpus (1-char strings never pass l_star).
+        if gram_side.where(F.length("__t") < q).limit(1).count() > 0:
+            return slim.select(
+                F.explode(log_length_bands(F.col("__len"), p)).alias("block_key"), "id"
+            )
         grams = gram_side.select(
             "id", prefix_len.alias("__plen"),
             F.explode(_positional_qgrams(F.col("__t"), q)).alias("g"),

@@ -89,15 +89,40 @@ def scoped_persist(df):
     return df
 
 
-def release_caches() -> int:
+_PINNED_CACHES: list[DataFrame] = []
+
+
+def pinned_persist(df: DataFrame) -> DataFrame:
+    """Persist that ``release_caches()`` will NOT drop by default.
+
+    For frames whose driver-collected byproducts must stay consistent with
+    any FUTURE re-materialization of the same plan — the range-partitioned
+    projections behind ``global_rank`` / ``pack_by_budget``, whose offset
+    censuses were collected against one specific set of sampled partition
+    cuts. Dropping such a cache is not merely slow: a re-materialization
+    may sample different cuts while the plan still carries the old offsets,
+    silently corrupting every global position. Release explicitly with
+    ``release_caches(include_pinned=True)`` once no returned DataFrame from
+    the query will be re-evaluated."""
+    df = df.persist()
+    _PINNED_CACHES.append(df)
+    return df
+
+
+def release_caches(include_pinned: bool = False) -> int:
     """Unpersist every scoped cache registered since the last release.
     Returns the number released. Safe to call at any time — caches are only
     dropped, never invalidated mid-plan, because callers release AFTER
-    materializing the consuming query."""
+    materializing the consuming query. Pinned caches (cut-pinning persists,
+    see :func:`pinned_persist`) are kept unless ``include_pinned``."""
     n = 0
     while _SCOPED_CACHES:
         _SCOPED_CACHES.pop().unpersist()
         n += 1
+    if include_pinned:
+        while _PINNED_CACHES:
+            _PINNED_CACHES.pop().unpersist()
+            n += 1
     return n
 
 

@@ -30,9 +30,12 @@ is pinned in ``tests/test_streaming_dedup.py``.
 
 State boundedness: ``state_timeout_ms`` drops idle keys (a key unseen for
 the window re-admits its next occurrence — the documented recall/memory
-trade of every TTL'd dedup); ``None`` disables the timer, required for
-finite ``availableNow`` replays (ProcessingTimeTimeout keeps scheduling
-empty batches forever on 4.1 — see streaming/linkage.py:114-119).
+trade of every TTL'd dedup); ``None`` — the DEFAULT — disables the timer,
+which is required for finite ``availableNow`` replays
+(ProcessingTimeTimeout keeps scheduling empty batches forever on 4.1 —
+see streaming/linkage.py:114-119). Long-lived continuous deployments
+should opt into a TTL explicitly; defaulting to one would make the
+documented replay pattern hang out of the box.
 """
 
 from __future__ import annotations
@@ -44,7 +47,7 @@ def stream_first_seen(
     keyed: DataFrame,
     key_col: str = "block_key",
     id_col: str = "id",
-    state_timeout_ms: int | None = 3_600_000,
+    state_timeout_ms: int | None = None,
 ) -> DataFrame:
     """``(key_col, id_col)`` stream → ``(key_col, id_col, first_id)`` rows
     for every record that lost its key to an earlier (lower-id) record.

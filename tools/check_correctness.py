@@ -73,6 +73,8 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        from levenshtein_spark.session import release_caches
+
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -81,11 +83,12 @@ def main() -> int:
             traceback.print_exc()
             failures.append(name)
             records[name] = {"status": "fail", "mode": "spark_error"}
+            # a failing query's scoped persists must not leak into the rest
+            # of the run (the ADVICE r02 accumulation, error-path edition)
+            release_caches(include_pinned=True)
             continue
         t_spark = time.perf_counter() - t0
-        from levenshtein_spark.session import release_caches
-
-        release_caches()  # drop this query's scoped helper caches (ADVICE r02)
+        release_caches(include_pinned=True)  # this query is fully materialized
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows  spark={t_spark:.1f}s")
             if len(sdf) == 0:
