@@ -1052,3 +1052,159 @@ FROM st s LEFT JOIN packed pk USING (doc_id)
 
 
 ORACLES["curation_funnel"] = _dd_funnel_sql()
+
+
+def q_corpus_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT per-language length percentiles (p50/p90/p99, type-1: smallest
+    value whose cumulative count reaches ceil(p·n)) — the corpus-profiling
+    number a curation run gates on, computed WITHOUT sorting the corpus.
+
+    Scale shape — the counting-sort quantile: lengths have a bounded
+    domain, so one map-side-combining ``groupBy(lang, n_chars)`` collapses
+    the corpus to a histogram no bigger than |langs|×|distinct lengths|;
+    the cumulative window then runs over the HISTOGRAM, not the rows.
+    That beats both a per-lang sort (full shuffle of every row) and
+    ``approx_percentile`` (not exact, not oracle-checkable). Rank targets
+    use pure integer arithmetic: ceil(n·k/100) = (n·k + 99) div 100 —
+    no float boundary anywhere, so the DuckDB twin is bit-identical.
+    For unbounded/continuous domains the same shape applies after a fixed
+    quantization (or a mergeable KLL sketch when exactness can be traded).
+    """
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf, "documents")
+    hist = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    wt = Window.partitionBy("lang")
+    s = hist.select(
+        "lang", "n_chars",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("tot"),
+    )
+
+    def pick(k: int):
+        target = F.expr(f"(tot * {k} + 99) div 100")
+        return (
+            F.min(F.when(F.col("cum") >= target, F.col("n_chars")))
+            .cast("long")
+            .alias(f"p{k}")
+        )
+
+    return s.groupBy("lang").agg(
+        F.max("tot").cast("long").alias("n_docs"), pick(50), pick(90), pick(99)
+    )
+
+
+QUERIES["corpus_percentiles"] = q_corpus_percentiles
+ORACLES["corpus_percentiles"] = """
+WITH h AS (
+  SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY lang, n_chars
+),
+s AS (
+  SELECT lang, n_chars,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS tot
+  FROM h
+)
+SELECT lang,
+       CAST(max(tot) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN n_chars END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN n_chars END) AS BIGINT) AS p90,
+       CAST(min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN n_chars END) AS BIGINT) AS p99
+FROM s GROUP BY lang
+"""
+
+
+# Count-Min sketch shape: d=4 independent portable-hash rows × w=512
+# counters; est(tok) = min over rows of its counter. est >= exact always
+# (only collisions inflate), so thresholding the ESTIMATE never drops a
+# true heavy hitter; overshoot is bounded by e·N/w per row with the usual
+# probabilistic guarantee over rows. Counters are plain sums → the sketch
+# merges across partitions / shards / days by addition, like the HLL
+# registers merge by max.
+_CMS_D = 4
+_CMS_W = 512
+_CMS_DEN = 200  # heavy hitter := est >= total_tokens/200 (0.5%)
+
+
+def q_corpus_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter tokens via a Count-Min sketch, next to their exact
+    counts for calibration — the streaming/mergeable way to track hot
+    tokens (boilerplate markers, spam n-grams) where exact per-token
+    counting would shuffle every distinct token.
+
+    The sketch itself is 4×512 integer counters (one map-side-combining
+    aggregate over the exploded token stream); candidates probe it via a
+    BROADCAST of those ≤2048 rows — the corpus-side stream never shuffles
+    for the probe. Candidates here are the corpus's distinct tokens (one
+    aggregate; in a live deployment a heap beside the sketch plays this
+    role). All integer-exact, so the DuckDB twin reproduces every counter
+    and the exact min — certifying the sketch, not just the output rows.
+    """
+    d = tbl(spark, sf, "documents")
+    toks = d.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+    bcols = [
+        F.pmod(hash64(F.col("tok"), seed=i + 1), F.lit(_CMS_W)).alias(f"b{i}")
+        for i in range(_CMS_D)
+    ]
+    tb = toks.select("tok", *bcols)
+    barr = F.array(*[F.col(f"b{i}") for i in range(_CMS_D)])
+    counters = (
+        tb.select(F.posexplode(barr).alias("r", "b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = tb.groupBy("tok", *[f"b{i}" for i in range(_CMS_D)]).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    probes = exact.select("tok", "n_exact", F.posexplode(barr).alias("r", "b"))
+    est = (
+        probes.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        est.join(F.broadcast(total))
+        .where(F.col("cms_est") >= F.expr(f"tot div {_CMS_DEN}"))
+        .select(
+            "tok",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+        )
+    )
+
+
+QUERIES["corpus_cms_topk"] = q_corpus_cms_topk
+_CMS_B_SQL = [
+    f"(('0x' || substr(md5(concat('{i + 1}', chr(31), tok)), 1, 15))::BIGINT) % {_CMS_W}"
+    for i in range(_CMS_D)
+]
+ORACLES["corpus_cms_topk"] = f"""
+WITH toks AS (
+  SELECT unnest({_DD_WORDS}) AS tok FROM documents
+),
+tb AS (
+  SELECT tok, {_CMS_B_SQL[0]} AS b0, {_CMS_B_SQL[1]} AS b1,
+         {_CMS_B_SQL[2]} AS b2, {_CMS_B_SQL[3]} AS b3
+  FROM toks
+),
+c0 AS (SELECT b0 AS b, count(*) AS cnt FROM tb GROUP BY b0),
+c1 AS (SELECT b1 AS b, count(*) AS cnt FROM tb GROUP BY b1),
+c2 AS (SELECT b2 AS b, count(*) AS cnt FROM tb GROUP BY b2),
+c3 AS (SELECT b3 AS b, count(*) AS cnt FROM tb GROUP BY b3),
+e AS (
+  SELECT tok, b0, b1, b2, b3, count(*) AS n_exact
+  FROM tb GROUP BY tok, b0, b1, b2, b3
+),
+t AS (SELECT count(*) AS tot FROM toks)
+SELECT e.tok,
+       CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS BIGINT) AS cms_est
+FROM e
+JOIN c0 ON c0.b = e.b0
+JOIN c1 ON c1.b = e.b1
+JOIN c2 ON c2.b = e.b2
+JOIN c3 ON c3.b = e.b3, t
+WHERE least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) >= t.tot // {_CMS_DEN}
+"""

@@ -786,3 +786,125 @@ rk AS (
 )
 SELECT id_l, id_r, dist FROM rk WHERE rl = 1 AND rr = 1
 """
+
+
+def q_events_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each click annotated with the user's latest purchase
+    at-or-before it (event id, time, value) — the point-in-time attribution
+    shape (feature stores, trade-vs-quote, price-as-of-order) that has no
+    Spark built-in. Ties at equal purchase ts break by greatest event_id,
+    so the match is a total order and deterministic.
+
+    Scale shape: ``operators/asof.py`` — both sides union-tagged, ONE hash
+    shuffle on user_id, one per-key sort; the match is a running
+    ``last(payload, ignorenulls)`` window, so no candidate pair is ever
+    materialized (a correlated/range join would pay per-key products).
+    Timestamps are emitted as epoch MICROSECONDS (exact integers; string
+    renderings of fractional seconds differ across engines).
+    """
+    from levenshtein_spark.operators.asof import asof_join
+
+    e = tbl(spark, sf, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    buys = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, buys, ["user_id"],
+        right_payload=["value"], tie_cols=["event_id"], prefix="p_",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("p_event_id").cast("long").alias("p_event_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.col("p_value").alias("p_value"),
+    )
+
+
+QUERIES["events_asof_join"] = q_events_asof_join
+ORACLES["events_asof_join"] = """
+WITH c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT c.event_id AS eid, p.event_id AS pid, p.ts AS pts, p.value AS pval,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM c JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts
+)
+SELECT c.user_id,
+       CAST(c.event_id AS BIGINT) AS event_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+       CAST(j.pid AS BIGINT) AS p_event_id,
+       CAST(epoch_us(j.pts) AS BIGINT) AS p_ts_us,
+       j.pval AS p_value
+FROM c LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.eid = c.event_id
+"""
+
+
+def q_events_window_attrib(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed attribution: per purchase, the count and value-sum of the
+    same user's clicks within the preceding hour — a genuine range-predicate
+    join (``click.ts IN (purchase.ts - 1h, purchase.ts]``) that Spark would
+    otherwise plan as a per-key product.
+
+    Scale shape: ``operators/rangejoin.py`` — time binned into 1h buckets
+    by integer division, the purchase side exploded into its two probe
+    bins, one EQUI-join on (user_id, bin), exact microsecond predicate
+    after; candidate fan-out is per-(user, hour) occupancy, not per-user
+    row counts. Purchases with zero clicks kept via a left join of the
+    aggregate back onto the purchase table.
+    """
+    from levenshtein_spark.operators.rangejoin import time_window_join
+
+    e = tbl(spark, sf, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    purch = e.where(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    pairs = time_window_join(purch, clicks, ["user_id"], window_sec=3600)
+    agg = pairs.groupBy("l_event_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("r_value").alias("s")
+    )
+    return (
+        purch.join(agg, purch["event_id"] == agg["l_event_id"], "left")
+        .select(
+            "user_id",
+            F.col("event_id").cast("long").alias("event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_clicks"),
+            F.round(F.coalesce(F.col("s"), F.lit(0.0)), 2).alias("sum_click_value"),
+        )
+    )
+
+
+QUERIES["events_window_attrib"] = q_events_window_attrib
+ORACLES["events_window_attrib"] = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.event_id, count(*) AS n, sum(c.value) AS s
+  FROM p JOIN c ON c.user_id = p.user_id
+                AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+  GROUP BY p.event_id
+)
+SELECT p.user_id,
+       CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+       CAST(coalesce(j.n, 0) AS BIGINT) AS n_clicks,
+       round(coalesce(j.s, 0), 2) AS sum_click_value
+FROM p LEFT JOIN j USING (event_id)
+"""
