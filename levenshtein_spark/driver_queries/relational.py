@@ -908,3 +908,105 @@ SELECT p.user_id,
        round(coalesce(j.s, 0), 2) AS sum_click_value
 FROM p LEFT JOIN j USING (event_id)
 """
+
+
+_BLOOM_M = 16384
+_BLOOM_K = 3
+
+
+def q_bloom_semijoin(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, certified: build a 16384-bit
+    portable bloom over urgent orders' keys, probe every lineitem row, and
+    report the pass/true-match/false-positive census plus the realized
+    false-positive rate. Equality of ``n_pass_bloom`` across engines
+    certifies the whole BITMAP (any bit difference flips some probe).
+
+    Scale shape (``operators/bloom.py``): the build is one bit_or
+    aggregate collecting <= m/64 driver scalars; the probe is literal-array
+    expression work inside whole-stage codegen — the fact table sees NO
+    join and NO shuffle before the filter, which is the point: at 100 TB
+    the bloom pre-filter cuts the fact side's shuffle to passing rows only,
+    while the exact join downstream keeps correctness independent of fp
+    residue. The exact-match flag here joins a broadcast dim purely to
+    MEASURE that residue.
+    """
+    from levenshtein_spark.operators.bloom import bloom_probe, build_bloom
+
+    dim = (
+        tbl(spark, sf, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+    )
+    bitmap = build_bloom(dim, "key", _BLOOM_M, _BLOOM_K)
+    li = tbl(spark, sf, "lineitem").select("l_orderkey")
+    flags = li.join(
+        F.broadcast(dim.distinct().withColumn("_m", F.lit(1))),
+        li["l_orderkey"] == F.col("key"),
+        "left",
+    ).select(
+        bloom_probe(bitmap, F.col("l_orderkey"), _BLOOM_K).alias("pass"),
+        F.col("_m").isNotNull().alias("matched"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).alias("n_pass_bloom"),
+        F.sum(F.when(F.col("matched"), 1).otherwise(0)).alias("n_match"),
+        F.sum(F.when(F.col("pass") & ~F.col("matched"), 1).otherwise(0)).alias("n_false_pos"),
+    )
+    return agg.select(
+        F.col("n_probe").cast("long").alias("n_probe"),
+        F.col("n_pass_bloom").cast("long").alias("n_pass_bloom"),
+        F.col("n_match").cast("long").alias("n_match"),
+        F.col("n_false_pos").cast("long").alias("n_false_pos"),
+        F.when(
+            (F.col("n_probe") - F.col("n_match")) > 0,
+            F.round(
+                F.col("n_false_pos").cast("double")
+                / (F.col("n_probe") - F.col("n_match")).cast("double"),
+                6,
+            ),
+        ).alias("fp_rate"),
+    )
+
+
+def _bloom_pos_sql(seed: int, key_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5(concat('{seed}', chr(31), {key_expr})), 1, 15))::BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+
+
+QUERIES["bloom_semijoin"] = q_bloom_semijoin
+ORACLES["bloom_semijoin"] = f"""
+WITH dim AS (
+  SELECT o_orderkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+pos AS (
+  SELECT DISTINCT {_bloom_pos_sql(1, "CAST(key AS VARCHAR)")} AS p FROM dim
+  UNION SELECT {_bloom_pos_sql(2, "CAST(key AS VARCHAR)")} FROM dim
+  UNION SELECT {_bloom_pos_sql(3, "CAST(key AS VARCHAR)")} FROM dim
+),
+pr AS (
+  SELECT l_orderkey,
+         {_bloom_pos_sql(1, "CAST(l_orderkey AS VARCHAR)")} AS q1,
+         {_bloom_pos_sql(2, "CAST(l_orderkey AS VARCHAR)")} AS q2,
+         {_bloom_pos_sql(3, "CAST(l_orderkey AS VARCHAR)")} AS q3
+  FROM lineitem
+),
+flags AS (
+  SELECT (q1 IN (SELECT p FROM pos)
+          AND q2 IN (SELECT p FROM pos)
+          AND q3 IN (SELECT p FROM pos)) AS pass,
+         l_orderkey IN (SELECT key FROM dim) AS matched
+  FROM pr
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+       CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(sum(CASE WHEN pass AND NOT matched THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CASE WHEN count(*) - sum(CASE WHEN matched THEN 1 ELSE 0 END) > 0 THEN
+         round(CAST(sum(CASE WHEN pass AND NOT matched THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) - sum(CASE WHEN matched THEN 1 ELSE 0 END) AS DOUBLE), 6)
+       END AS fp_rate
+FROM flags
+"""

@@ -658,3 +658,124 @@ FROM per
 
 
 ORACLES["streaming_hll"] = _streaming_hll_oracle()
+
+
+_CMS_SINK = "streaming_cms_mem"
+
+
+def q_streaming_cms(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter token sketch ON INGEST: the 4x512 Count-Min counters of
+    ``corpus_cms_topk`` maintained as a streaming aggregation. State is the
+    counter table itself — at most d·w longs no matter how many tokens
+    stream through (the exact counterpart needs one state row per DISTINCT
+    token, unbounded on an open vocabulary). Counters are plain sums, so
+    micro-batches merge by addition — the same mergeability that combines
+    the sketch across shards and days at rest.
+
+    Bucket derivation is stateless codegen in-stream; the only stateful
+    operator is the (r, b) count. The streamed counters finalize into the
+    identical estimates as the at-rest sketch — which is what the DuckDB
+    twin certifies — and the total-token denominator comes from the sketch
+    itself (each row's counters sum to N), not from a second pass.
+    """
+    from levenshtein_spark.driver_queries.curation import _CMS_D, _CMS_DEN, _CMS_W
+    from levenshtein_spark.functions.hashing import hash64
+    from levenshtein_spark.functions.text import word_tokens
+
+    batch = tbl(spark, sf, "documents")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf)
+    )
+
+    def buckets(df):
+        barr = F.array(
+            *[
+                F.pmod(hash64(F.col("tok"), seed=i + 1), F.lit(_CMS_W))
+                for i in range(_CMS_D)
+            ]
+        )
+        return df.select(F.posexplode(barr).alias("r", "b"))
+
+    toks = stream.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+    counters = buckets(toks).groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    q = (
+        counters.writeStream.format("memory")
+        .queryName(_CMS_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_cms did not drain within 300s")
+    ctr = spark.table(_CMS_SINK)
+    # N = sum of any single row's counters; row 0 by convention
+    total = ctr.where(F.col("r") == 0).agg(F.sum("cnt").alias("tot"))
+    cand = batch.select(F.explode(word_tokens(F.col("text"))).alias("tok")).distinct()
+    probes = cand.select(
+        "tok",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(hash64(F.col("tok"), seed=i + 1), F.lit(_CMS_W))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("r", "b"),
+    )
+    est = (
+        probes.join(F.broadcast(ctr), ["r", "b"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.join(F.broadcast(total))
+        .where(F.col("cms_est") >= F.expr(f"tot div {_CMS_DEN}"))
+        .select("tok", F.col("cms_est").cast("long").alias("cms_est"))
+    )
+
+
+QUERIES["streaming_cms"] = q_streaming_cms
+
+
+def _streaming_cms_oracle() -> str:
+    from levenshtein_spark.driver_queries.curation import (
+        _CMS_D,
+        _CMS_DEN,
+        _CMS_W,
+        _DD_WORDS,
+    )
+
+    b_sql = [
+        f"(('0x' || substr(md5(concat('{i + 1}', chr(31), tok)), 1, 15))::BIGINT) % {_CMS_W}"
+        for i in range(_CMS_D)
+    ]
+    return f"""
+WITH toks AS (
+  SELECT unnest({_DD_WORDS}) AS tok FROM documents
+),
+tb AS (
+  SELECT tok, {b_sql[0]} AS b0, {b_sql[1]} AS b1, {b_sql[2]} AS b2, {b_sql[3]} AS b3
+  FROM toks
+),
+c0 AS (SELECT b0 AS b, count(*) AS cnt FROM tb GROUP BY b0),
+c1 AS (SELECT b1 AS b, count(*) AS cnt FROM tb GROUP BY b1),
+c2 AS (SELECT b2 AS b, count(*) AS cnt FROM tb GROUP BY b2),
+c3 AS (SELECT b3 AS b, count(*) AS cnt FROM tb GROUP BY b3),
+e AS (SELECT DISTINCT tok, b0, b1, b2, b3 FROM tb),
+t AS (SELECT count(*) AS tot FROM toks)
+SELECT e.tok,
+       CAST(least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS BIGINT) AS cms_est
+FROM e
+JOIN c0 ON c0.b = e.b0
+JOIN c1 ON c1.b = e.b1
+JOIN c2 ON c2.b = e.b2
+JOIN c3 ON c3.b = e.b3, t
+WHERE least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) >= t.tot // {_CMS_DEN}
+"""
+
+
+ORACLES["streaming_cms"] = _streaming_cms_oracle()
