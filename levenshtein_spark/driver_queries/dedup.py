@@ -699,8 +699,13 @@ def _dd_minhash_keys_sql(
     any source relation (``table_sql`` may be a CTE name)."""
     grams_sql = grams_sql if grams_sql is not None else _DD_BIGRAMS
     rows = num_hashes // bands
+    # double-hashing family (functions.hashing._mh_base): two md5 base
+    # hashes per gram, slot_i = (h1m + i*h2o) mod 2^31 with h2o forced odd
+    mod = 1 << 31
+    h1m = f"(('0x' || substr(md5(concat('mh0', chr(31), t)), 1, 15))::BIGINT) % {mod}"
+    h2o = f"((('0x' || substr(md5(concat('mh1', chr(31), t)), 1, 15))::BIGINT) % {mod}) | 1"
     slots = [
-        f"list_min(list_transform(g, t -> (('0x' || substr(md5(concat('{i}', chr(31), t)), 1, 15))::BIGINT)))"
+        f"list_min(list_transform(g, t -> (({h1m}) + {i} * ({h2o})) % {mod}))"
         for i in range(num_hashes)
     ]
     keys = []

@@ -1749,3 +1749,93 @@ SELECT f.segment, CAST(f.freq AS BIGINT) AS freq,
 FROM freq f LEFT JOIN agree ag USING (segment), tot t
 """
 QUERIES["fs_tf_weights"] = q_fs_tf_weights
+
+
+_ME_Q = 1_000_000  # inner-sim quantization: integer sums => order-free floats
+
+
+def q_er_monge_elkan(spark: SparkSession, sf: str) -> DataFrame:
+    """Monge–Elkan hybrid comparator over the blocked candidate universe:
+    ME(A,B) = mean over A's tokens of the best Jaro–Winkler match in B —
+    the classic token-level/char-level hybrid (Monge & Elkan 1996; Cohen,
+    Ravikumar & Fienberg 2003 rank it among the strongest name comparators)
+    that survives token reordering and per-token typos where whole-string
+    comparators fail. Asymmetric by definition; this is ME(A→B).
+
+    Exactness discipline: each per-token best sim is quantized to an
+    integer (one correctly-rounded multiply+round of the bit-pinned JW
+    double), so the per-pair SUM is order-free integer arithmetic and the
+    final mean is a single divide — the dedup_tfidf integer-weight
+    discipline applied to a float comparator.
+
+    Scale shape: tokens explode off the already-slim candidate stream
+    (pair count × |A|·|B| rows, token products are tiny for names); one
+    ArrowEvalPython JW batch; two map-side-combining aggregations
+    (per-(pair, A-position) max, then per-pair integer sum). No window,
+    no per-key product beyond the token grid itself.
+    """
+    from levenshtein_spark.driver_queries.linkage import _customer_blocks
+    from levenshtein_spark.functions.distance import jaro_winkler
+    from levenshtein_spark.functions.text import word_tokens
+    from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
+
+    blocks = _customer_blocks(spark, sf)
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    c = tbl(spark, sf, "customer")
+    rec = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    fat = attach_pair_payload(pairs, rec, ["name"])
+    fat = fat.where(
+        (F.size(word_tokens(F.col("name_a"))) > 0)
+        & (F.size(word_tokens(F.col("name_b"))) > 0)
+    )
+    ta = fat.select(
+        "id_a", "id_b", "name_b",
+        F.size(word_tokens(F.col("name_a"))).alias("na"),
+        F.posexplode(word_tokens(F.col("name_a"))).alias("pa", "tok_a"),
+    )
+    tb = ta.select(
+        "id_a", "id_b", "na", "pa", "tok_a",
+        F.explode(word_tokens(F.col("name_b"))).alias("tok_b"),
+    )
+    sims = tb.select(
+        "id_a", "id_b", "na", "pa", jaro_winkler("tok_a", "tok_b").alias("s")
+    )
+    best = sims.groupBy("id_a", "id_b", "na", "pa").agg(
+        F.round(F.max("s") * _ME_Q).cast("long").alias("q")
+    )
+    return best.groupBy("id_a", "id_b").agg(
+        F.round(
+            F.sum("q").cast("double")
+            / (F.max("na").cast("double") * F.lit(float(_ME_Q))),
+            6,
+        ).alias("monge_elkan")
+    )
+
+
+QUERIES["er_monge_elkan"] = q_er_monge_elkan
+
+from levenshtein_spark.driver_queries.linkage import _CUST_PAIRS as _ME_PAIRS  # noqa: E402
+
+_ME_TOKS = "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+ORACLES["er_monge_elkan"] = f"""
+WITH cand AS ({_ME_PAIRS}),
+tk AS (
+  SELECT id_a, id_b,
+         {_ME_TOKS.format(c="name_a")} AS ta,
+         {_ME_TOKS.format(c="name_b")} AS tb
+  FROM cand
+  WHERE len({_ME_TOKS.format(c="name_a")}) > 0
+    AND len({_ME_TOKS.format(c="name_b")}) > 0
+),
+q AS (
+  SELECT id_a, id_b, len(ta) AS na,
+         list_transform(ta, a -> CAST(round(
+             list_max(list_transform(tb, b -> jaro_winkler_similarity(a, b)))
+             * {_ME_Q}) AS BIGINT)) AS qs
+  FROM tk
+)
+SELECT id_a, id_b,
+       round(CAST(list_sum(qs) AS DOUBLE) / (CAST(na AS DOUBLE) * {float(_ME_Q)!r}), 6)
+         AS monge_elkan
+FROM q
+"""

@@ -309,11 +309,13 @@ def _dd_minhash_band_keys() -> list[str]:
     """DuckDB expressions for the {_BANDS} MinHash band keys over path_tokens
     (mirrors functions.hashing.minhash_signature / minhash_band_keys)."""
     rows = _NUM_HASHES // _BANDS
-    # minhash_signature always prefixes the slot index (even slot 0), unlike
-    # bare hash64 — mirror that exactly.
+    # double-hashing family (functions.hashing._mh_base): two md5 base
+    # hashes per token, slot_i = (h1m + i*h2o) mod 2^31, h2o forced odd
+    mod = 1 << 31
+    h1m = f"(('0x' || substr(md5(concat('mh0', chr(31), t)), 1, 15))::BIGINT) % {mod}"
+    h2o = f"((('0x' || substr(md5(concat('mh1', chr(31), t)), 1, 15))::BIGINT) % {mod}) | 1"
     slots = [
-        "list_min(list_transform(path_tokens, t -> "
-        f"(('0x' || substr(md5(concat('{i}', chr(31), t)), 1, 15))::BIGINT)))"
+        f"list_min(list_transform(path_tokens, t -> (({h1m}) + {i} * ({h2o})) % {mod}))"
         for i in range(_NUM_HASHES)
     ]
     keys = []

@@ -43,20 +43,50 @@ def sha256_hex(col) -> Column:
     return F.sha2(_c(col).cast("string"), 256)
 
 
+# MinHash slot family: DOUBLE HASHING. Two md5-derived base hashes per gram
+# (markers 'mh0'/'mh1'), slots are the affine combination
+#   slot_i = (h1m + i * h2o) mod 2^31,  h1m = h1 mod 2^31,
+#   h2o = (h2 mod 2^31) | 1   (odd => nonzero stride, no degenerate gram)
+# — the Kirsch–Mitzenmacher construction: k independent-enough hash
+# functions from two real ones. Cuts the per-gram md5 cost from num_hashes
+# to TWO, which at corpus scale is most of the LSH stage's CPU. 31-bit
+# slot values keep i * h2o inside a signed 64-bit long for any sane i.
+_MH_MOD = 1 << 31
+
+
+def _mh_base(gram: Column) -> tuple[Column, Column]:
+    def md5c(prefix: str) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix + "\x1f"), gram)), 1, 15), 16, 10
+        ).cast("long")
+
+    h1m = F.pmod(md5c("mh0"), F.lit(_MH_MOD))
+    h2o = F.pmod(md5c("mh1"), F.lit(_MH_MOD)).bitwiseOR(F.lit(1))
+    return h1m, h2o
+
+
 def minhash_signature(tokens, num_hashes: int = 8) -> Column:
     """MinHash signature (array<long>) over an array<string> column.
 
-    One portable hash family per slot: ``min(hash64(seed_i || token))``.
-    Estimates Jaccard similarity of token sets; the set-level analogue of the
-    reference's per-pair early exits (cheap necessary condition before the DP).
+    Double-hashing family (see ``_mh_base``): per token, base hashes are
+    materialized ONCE into a struct array; each slot is then arithmetic
+    over that array. Estimates Jaccard similarity of token sets; the
+    set-level analogue of the reference's per-pair early exits (cheap
+    necessary condition before the DP). Bit-identical to
+    ``minhash_band_table``'s flat form and to the DuckDB oracle twins.
     """
     t = _c(tokens)
-    sig = []
-    for i in range(num_hashes):
-        hashed = F.transform(t, lambda x: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}\x1f"), x)), 1, 15), 16, 10
-        ).cast("long"))
-        sig.append(F.array_min(hashed))
+    # materialized struct array: CollapseProject keeps a non-cheap expr
+    # referenced by every slot from being re-inlined per slot
+    hs = F.transform(t, lambda x: F.struct(*(
+        c.alias(n) for c, n in zip(_mh_base(x), ("a", "b"))
+    )))
+    def slot(i: int):
+        # NB: a 2-arg lambda would be treated as transform's (element, index)
+        # form and silently shadow the closed-over slot number
+        return lambda s: F.pmod(s["a"] + F.lit(i) * s["b"], F.lit(_MH_MOD))
+
+    sig = [F.array_min(F.transform(hs, slot(i))) for i in range(num_hashes)]
     return F.array(*sig)
 
 
@@ -81,8 +111,9 @@ def minhash_band_table(
 ) -> "DataFrame":  # noqa: F821
     """(id, band_key) rows — the same math as ``minhash_signature`` +
     ``minhash_band_keys``, reformulated for whole-stage codegen: explode the
-    grams, hash each occurrence once per slot as flat md5 columns, take the
-    per-slot min with ONE map-side-combining groupBy, then emit the band
+    grams, compute the TWO base hashes once per occurrence (double-hashing
+    family, see ``_mh_base``), derive every slot by affine arithmetic, take
+    the per-slot min with ONE map-side-combining groupBy, then emit the band
     keys. The array-expression form nests higher-order functions
     (interpreted, not codegen) and Catalyst re-inlines the signature into
     every band key — ~50x slower, and it materializes the per-doc gram array
@@ -95,12 +126,12 @@ def minhash_band_table(
         raise ValueError("bands must divide num_hashes")
     rows = num_hashes // bands
     g = df.select(F.col(id_col).alias("id"), F.explode_outer(_c(grams)).alias("g"))
-    hashed = g.select(
+    h1m, h2o = _mh_base(F.col("g"))
+    base = g.select("id", h1m.alias("_a"), h2o.alias("_b"))
+    hashed = base.select(
         "id",
         *[
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}\x1f"), F.col("g"))), 1, 15), 16, 10)
-            .cast("long")
-            .alias(f"h{i}")
+            F.pmod(F.col("_a") + i * F.col("_b"), F.lit(_MH_MOD)).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )

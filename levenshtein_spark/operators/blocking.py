@@ -21,7 +21,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from levenshtein_spark.functions.hashing import minhash_band_keys, minhash_signature
+from levenshtein_spark.functions.hashing import (
+    _MH_MOD,
+    _mh_base,
+    minhash_band_keys,
+    minhash_signature,
+)
 
 DEFAULT_LEN_BAND = 32  # 2W: guarantees pairs with length diff <= 16 share a key
 DEFAULT_MINHASH = 8
@@ -81,15 +86,15 @@ def exploded_blocks(
         "id", "lang", g1.alias("g1"), g2.alias("g2"),
         F.explode_outer("path_tokens").alias("t"),
     )
-    hashed = toks.select(
+    h1m, h2o = _mh_base(F.col("t"))
+    base = toks.select("id", "lang", "g1", "g2", h1m.alias("_a"), h2o.alias("_b"))
+    hashed = base.select(
         "id",
         "lang",
         "g1",
         "g2",
         *[
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}\x1f"), F.col("t"))), 1, 15), 16, 10)
-            .cast("long")
-            .alias(f"h{i}")
+            F.pmod(F.col("_a") + i * F.col("_b"), F.lit(_MH_MOD)).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
