@@ -1149,3 +1149,111 @@ FROM (
   FROM cand) t
 WHERE rank <= {_TOP_K}
 """
+
+
+def q_ann_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe banded LSH top-k (Lv et al. 2007): queries probe each
+    table's exact bucket PLUS the bucket with the least-confident sign bit
+    flipped (smallest |projection| margin). Recall comparable to adding
+    tables, bought on the query side for zero index cost — the index keeps
+    the same ``banded_lsh_keys`` rows, so at scale memory and build shuffle
+    stay at b tables while probe fan-out merely doubles.
+
+    Scale shape: the probe set is tiny and broadcasts onto the index key
+    stream (BroadcastHashJoin on block_key); candidates dedupe via one
+    distinct on slim (query, neighbor) ids; exact cosine + WindowGroupLimit
+    top-k. The DuckDB twin re-derives bucket, argmin margin plane, and the
+    flipped key bit-for-bit from the same portable projections.
+    """
+    from levenshtein_spark.functions.vectors import multiprobe_lsh_keys
+
+    e = tbl(spark, sf, "embeddings")
+    idx = e.select(
+        F.explode(banded_lsh_keys("embedding", _B_TABLES, _B_PLANES, seed=0)).alias("block_key"),
+        "vec_id",
+    )
+    probes = e.where(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    qkeys = probes.select(
+        "query_id",
+        F.explode(multiprobe_lsh_keys("q", _B_TABLES, _B_PLANES, seed=0)).alias("block_key"),
+    )
+    cand = (
+        F.broadcast(qkeys)
+        .join(idx, "block_key")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "query_id")
+        .join(e, e["vec_id"] == F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+QUERIES["ann_multiprobe_topk"] = q_ann_multiprobe_topk
+
+
+def _dd_multiprobe_keys_sql() -> str:
+    """(query_id, block_key) per probe: exact + least-margin-flipped bucket
+    per table — mirror of functions.vectors.multiprobe_lsh_keys."""
+    def proj(p: int) -> str:
+        w = (
+            f"(('0x' || substr(md5(concat_ws('_', '0', '{p}', "
+            f"CAST(i - 1 AS VARCHAR))), 1, 8))::BIGINT / {float(16**8)} - 0.5)"
+        )
+        return f"list_sum(list_transform(range(1, len(q) + 1), i -> CAST(q[i] AS DOUBLE) * {w}))"
+
+    selects = []
+    for t in range(_B_TABLES):
+        planes = [t * _B_PLANES + p for p in range(_B_PLANES)]
+        bucket = _dd_bucket("q", planes)
+        margins = "[" + ", ".join(f"abs({proj(p)})" for p in planes) + "]"
+        jstar = f"(list_position({margins}, list_min({margins})) - 1)"
+        flipped = f"xor({bucket}, (1::BIGINT << {jstar}))"
+        selects.append(
+            f"SELECT query_id, 't{t}' || '|' || CAST({bucket} AS VARCHAR) AS block_key FROM probes"
+        )
+        selects.append(
+            f"SELECT query_id, 't{t}' || '|' || CAST({flipped} AS VARCHAR) AS block_key FROM probes"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+ORACLES["ann_multiprobe_topk"] = f"""
+WITH probes AS (
+  SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < {_N_PROBES}
+),
+idx AS ({_dd_banded_keys_sql()}),
+qk AS ({_dd_multiprobe_keys_sql()}),
+cand AS (
+  SELECT DISTINCT qk.query_id, i.vec_id AS neighbor_id
+  FROM qk JOIN idx i ON i.block_key = qk.block_key
+  WHERE i.vec_id <> qk.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({_dd_cosine('p.q', 'e.embedding')}, 6) AS cos_sim
+  FROM cand c
+  JOIN probes p ON p.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_TOP_K}
+"""

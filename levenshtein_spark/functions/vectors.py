@@ -116,3 +116,44 @@ def banded_lsh_keys(a, n_tables: int = 4, n_planes: int = 6, seed: int = 0) -> C
             bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
         keys.append(F.concat_ws("|", F.lit(f"t{t}"), bucket.cast("string")))
     return F.array(*keys)
+
+
+def multiprobe_lsh_keys(
+    a, n_tables: int = 4, n_planes: int = 6, seed: int = 0
+) -> Column:
+    """Query-side multi-probe keys (array<string>, TWO per table): the exact
+    banded bucket plus the bucket with the LEAST-CONFIDENT sign bit flipped
+    — the plane whose |projection| margin is smallest (ties to the lowest
+    plane index), i.e. the neighbor bucket a near-miss most likely fell
+    into (Lv et al. 2007, multi-probe LSH).
+
+    Why it matters at scale: recall in banded LSH is bought with MORE
+    TABLES, and every table replicates the whole index (b× memory and
+    build shuffle). Probing the best perturbation of each existing table
+    buys comparable recall on the QUERY side for zero index cost — only
+    2× probe keys. Index rows keep using ``banded_lsh_keys`` unchanged.
+
+    Deterministic and portable: margins are the same fixed-order
+    projections the bucket bits use, so a SQL twin reproduces bucket,
+    argmin plane, and flipped key bit-for-bit. The flip uses a
+    PRE-COMPUTED array of statically-masked buckets selected by the argmin
+    index (no dynamic shift, stays inside codegen).
+    """
+    v = _c(a)
+    keys = []
+    for t in range(n_tables):
+        projs = [_plane_projection(v, seed, t * n_planes + p) for p in range(n_planes)]
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            bucket = bucket + F.when(projs[p] >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        jstar = F.least(
+            *[
+                F.struct(F.abs(projs[p]).alias("a"), F.lit(p).alias("p"))
+                for p in range(n_planes)
+            ]
+        )["p"]
+        flips = F.array(*[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
+        flipped = F.element_at(flips, jstar + 1)
+        keys.append(F.concat_ws("|", F.lit(f"t{t}"), bucket.cast("string")))
+        keys.append(F.concat_ws("|", F.lit(f"t{t}"), flipped.cast("string")))
+    return F.array(*keys)

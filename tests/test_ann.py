@@ -283,3 +283,55 @@ def test_ivfpq_residual_beats_raw_on_clustered(spark, tmp_path):
     # variants, so only well-formedness is pinned on it (via stats()).
     assert res_err < raw_err / 3, f"residual err {res_err:.3f} vs raw {raw_err:.3f}"
     assert res_rec > 0 and raw_rec >= 0
+
+
+def test_multiprobe_keys_shape_and_superset(spark, emb):
+    """Multi-probe query keys: 2 per table; the exact banded keys are a
+    subset; each flipped key differs from its table's exact key in exactly
+    one bit (the least-|margin| plane)."""
+    from levenshtein_spark.functions.vectors import multiprobe_lsh_keys
+
+    b, r = 4, 6
+    row = emb.limit(1).select(
+        banded_lsh_keys("embedding", b, r, seed=0).alias("exact"),
+        multiprobe_lsh_keys("embedding", b, r, seed=0).alias("mp"),
+    ).collect()[0]
+    exact, mp = list(row["exact"]), list(row["mp"])
+    assert len(mp) == 2 * b
+    assert mp[0::2] == exact  # even slots are the exact keys, in table order
+    for t in range(b):
+        be = int(exact[t].split("|")[1])
+        bf = int(mp[2 * t + 1].split("|")[1])
+        x = be ^ bf
+        assert x != 0 and (x & (x - 1)) == 0  # exactly one bit flipped
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, emb):
+    """Planted near-dups: multi-probe candidates strictly contain the
+    single-probe candidates and recall@candidate does not decrease."""
+    from levenshtein_spark.functions.vectors import multiprobe_lsh_keys
+
+    b, r = 2, 8  # deliberately low-recall shape so probing has headroom
+    n_q = 40
+    idx = emb.select(
+        F.explode(banded_lsh_keys("embedding", b, r, seed=0)).alias("k"), "vec_id"
+    )
+    probes = emb.where(F.col("vec_id") < n_q)
+    single = probes.select(
+        "vec_id", F.explode(banded_lsh_keys("embedding", b, r, seed=0)).alias("k")
+    )
+    multi = probes.select(
+        "vec_id", F.explode(multiprobe_lsh_keys("embedding", b, r, seed=0)).alias("k")
+    )
+
+    def cands(qk):
+        return {
+            (x["vec_id"], x["nid"])
+            for x in qk.join(
+                idx.select(F.col("k"), F.col("vec_id").alias("nid")), "k"
+            ).where(F.col("nid") != F.col("vec_id")).select("vec_id", "nid").distinct().collect()
+        }
+
+    cs, cm = cands(single), cands(multi)
+    assert cs <= cm
+    assert len(cm) > len(cs)  # the flipped buckets contribute real candidates
