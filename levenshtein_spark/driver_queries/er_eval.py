@@ -1839,3 +1839,91 @@ SELECT id_a, id_b,
          AS monge_elkan
 FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# Smith–Waterman local-alignment comparator
+# ---------------------------------------------------------------------------
+_SW_SAMPLE_MOD = 29  # deterministic 1-in-29 pair sample (oracle is O(n·m²)/pair)
+
+
+def q_er_smith_waterman(spark: SparkSession, sf: str) -> DataFrame:
+    """Smith–Waterman local-alignment scores (functions/align.py: match +2,
+    mismatch −1, gap −1, floor 0, byte semantics) over the blocked customer
+    candidate universe — the third comparator of the stack (edit distance /
+    Jaro–Winkler / local alignment). Local alignment scores the best shared
+    REGION, so it stays high where unshared prefixes/suffixes drown a
+    global measure — the comparator of choice for concatenated or embedded
+    fields (Monge & Elkan 1996 build on exactly this base).
+
+    Scores are exact integers (bit-trivial cross-engine); ``sw_norm`` =
+    ``sw / (2·min(len))`` is one correctly-rounded divide. Candidates are
+    thinned by a deterministic portable-hash 1-in-{mod} sample — the DuckDB
+    twin replays the same hash, then re-derives every score through the
+    recursive-CTE DP (oracles.sw_cte), the same max-plus prefix-scan
+    recurrence the NumPy kernel vectorizes.
+
+    Scale shape: the sample is a stateless filter on the slim pair stream;
+    scoring is one ArrowEvalPython over two pre-projected name columns —
+    identical plan shape to linkage_score.
+    """
+    from levenshtein_spark.functions.align import SW_MATCH, smith_waterman
+    from levenshtein_spark.functions.hashing import hash64
+
+    blocks = _customer_blocks(spark, sf)
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    pairs = pairs.where(
+        hash64(
+            F.concat(
+                F.col("id_a").cast("string"), F.lit("_"), F.col("id_b").cast("string")
+            )
+        )
+        % _SW_SAMPLE_MOD
+        == 0
+    )
+    c = tbl(spark, sf, "customer")
+    rec = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    fat = attach_pair_payload(pairs, rec, ["name"])
+    scored = fat.select(
+        "id_a",
+        "id_b",
+        F.least(F.octet_length("name_a"), F.octet_length("name_b")).alias("__lmin"),
+        smith_waterman("name_a", "name_b").alias("sw"),
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "sw",
+        F.round(
+            F.col("sw").cast("double")
+            / (F.lit(float(SW_MATCH)) * F.col("__lmin").cast("double")),
+            6,
+        ).alias("sw_norm"),
+    )
+
+
+QUERIES["er_smith_waterman"] = q_er_smith_waterman
+
+
+def _sw_oracle_sql() -> str:
+    from levenshtein_spark.functions.align import SW_MATCH
+    from levenshtein_spark.oracles import dd_hash64, sw_cte
+
+    h = dd_hash64("CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR)")
+    return f"""
+WITH RECURSIVE
+swcand AS (
+  SELECT id_a, id_b, name_a, name_b
+  FROM ({_CUST_PAIRS}) p
+  WHERE ({h}) % {_SW_SAMPLE_MOD} = 0
+),
+{sw_cte("SELECT id_a * 10000000 + id_b AS pid, name_a AS s1, name_b AS s2 FROM swcand")}
+SELECT c.id_a, c.id_b, r.sw,
+       round(CAST(r.sw AS DOUBLE) /
+             ({float(SW_MATCH)!r} * least(strlen(c.name_a), strlen(c.name_b))), 6)
+         AS sw_norm
+FROM swcand c JOIN sw_result r ON r.pid = c.id_a * 10000000 + c.id_b
+"""
+
+
+ORACLES["er_smith_waterman"] = _sw_oracle_sql()

@@ -95,3 +95,56 @@ def bounded_osa_expr(k: int, la: str = "length(s1)", lb: str = "length(s2)") -> 
     """least(osa, k_eff + 1) with k_eff = least(k, greatest(len_a, len_b)) —
     the reference's bounded convention (src/bounded_edit_dist_t.cpp:284)."""
     return f"least(osa, least({k}, greatest({la}, {lb})) + 1)"
+
+
+def sw_cte(pairs_sql: str) -> str:
+    """Recursive-CTE computing the Smith–Waterman local-alignment score
+    (match +2, mismatch -1, gap -1, floor 0 — functions/align.py constants)
+    over a pair relation.
+
+    ``pairs_sql`` must be a complete SELECT producing ``(pid, s1, s2)`` with
+    unique pid and non-NULL strings. Defines ``sw_result(pid, sw)``. The
+    within-row left-gap dependency is closed with the same max-plus prefix
+    scan the NumPy kernel uses: ``H[i][j] = max_{t<=j}(c[t] + t) - j`` where
+    ``c[t] = max(0, diag, up-1)`` and ``c[0] = 0``. The recursion retains
+    every row i, so the global max cell is an aggregate over iterations —
+    no running-best column needed. Oracle duty only (O(n·m²) list ops per
+    pair), mirroring the role of the reference's full-matrix
+    ``edit_dist_t_2d`` (src/edit_dist_t_2d.cpp:8-9).
+    """
+    from levenshtein_spark.functions.align import SW_GAP, SW_MATCH, SW_MISMATCH
+
+    g = SW_GAP
+    return f"""
+sw_pairs AS ({pairs_sql}),
+sw_p AS (
+  SELECT pid, s1, s2, length(s1) AS n, length(s2) AS m FROM sw_pairs
+),
+sw_dp(pid, i, prev) AS (
+  SELECT pid, 0, list_transform(range(0, m + 1), j -> CAST(0 AS BIGINT))
+  FROM sw_p
+  UNION ALL
+  SELECT d.pid, d.i + 1,
+    (
+      WITH c AS (
+        SELECT list_transform(range(0, p.m + 1), j ->
+          CASE WHEN j = 0 THEN CAST(0 AS BIGINT)
+          ELSE greatest(
+            CAST(0 AS BIGINT),
+            d.prev[j] + (CASE WHEN substr(p.s1, d.i + 1, 1) = substr(p.s2, j, 1)
+                         THEN {SW_MATCH} ELSE {-SW_MISMATCH} END),
+            d.prev[j + 1] - {g}
+          ) END) AS cand
+      )
+      SELECT list_transform(range(0, p.m + 1), j ->
+        CASE WHEN j = 0 THEN CAST(0 AS BIGINT)
+             ELSE list_max(list_transform(range(0, j + 1), t -> cand[t + 1] + {g} * t)) - {g} * j
+        END)
+      FROM c
+    )
+  FROM sw_dp d JOIN sw_p p USING (pid)
+  WHERE d.i < p.n
+),
+sw_result AS (
+  SELECT pid, greatest(max(list_max(prev)), 0) AS sw FROM sw_dp GROUP BY pid
+)"""
