@@ -1010,3 +1010,61 @@ SELECT CAST(count(*) AS BIGINT) AS n_probe,
        END AS fp_rate
 FROM flags
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join (AllPairs prefix filter)
+# ---------------------------------------------------------------------------
+_SJ_NUM, _SJ_DEN = 3, 5  # Jaccard >= 0.6 as a rational (integer verify)
+
+
+def q_setjoin_jaccard_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT word-bigram Jaccard >= {num}/{den} self-join over documents via
+    AllPairs prefix-filter blocking (operators/setjoin.py) — the lossless,
+    deterministic complement to the MinHash recall stage: ``dedup_minhash``
+    trades recall for speed over the SAME bigram shingles; this operator
+    returns EVERY qualifying pair. (Bigrams, not unigrams: on this small-
+    vocabulary corpus unigram sets are so dense that 57% of ALL pairs pass
+    t=0.6 — a join whose result is near-all-pairs measures nothing. The
+    bigram result is the 25 true near-dup pairs.) The threshold compares by
+    integer cross-multiplication (no float threshold), so the twin is the
+    brute-force all-pairs join — the oracle certifies the prefix filter's
+    losslessness end to end, the same way the brute-force twins certify
+    dedup_prefix and dedup_simhash_pairs.
+    """
+    from levenshtein_spark.functions.text import word_bigrams
+    from levenshtein_spark.operators.setjoin import set_similarity_self_join
+
+    d = tbl(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    out = set_similarity_self_join(
+        d, word_bigrams(F.col("text")), _SJ_NUM, _SJ_DEN,
+        hot_threshold=500, num_salts=8,
+    )
+    return out.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+        "inter", "uni", "jaccard",
+    )
+
+
+QUERIES["setjoin_jaccard_docs"] = q_setjoin_jaccard_docs
+
+from levenshtein_spark.driver_queries.dedup import _DD_BIGRAMS as _SJ_GRAMS  # noqa: E402
+
+ORACLES["setjoin_jaccard_docs"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_SJ_GRAMS}) AS g
+  FROM documents
+  WHERE len(list_distinct({_SJ_GRAMS})) > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS inter,
+       CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS BIGINT) AS uni,
+       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+             CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE), 6)
+         AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.g, b.g)) * {_SJ_DEN}
+      >= {_SJ_NUM} * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+"""
