@@ -1208,3 +1208,62 @@ JOIN c2 ON c2.b = e.b2
 JOIN c3 ON c3.b = e.b3, t
 WHERE least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) >= t.tot // {_CMS_DEN}
 """
+
+
+# ---------------------------------------------------------------------------
+# Length-weighted deterministic sampling
+# ---------------------------------------------------------------------------
+_WS_SCALE = 1 << 30  # 30-bit draw: max(weight) * 2^30 stays far inside int64
+
+
+def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted Bernoulli sampling with P(keep) ∝ document weight — here
+    weight = whitespace token count + 1, i.e. sample probability
+    proportional to a document's token budget (the policy that makes a
+    UNIFORM sample of *tokens* rather than of documents: pairs with
+    ``pack_shards``/``chunk_documents``, where the unit of training cost is
+    the token, not the row).
+
+    Same determinism contract as ``sample_temperature``: the keep decision
+    is a pure function of doc_id — ``hash64('wsamp', doc_id) mod 2^30 *
+    W_max < w * 2^30`` — with the threshold comparison in EXACT integer
+    cross-multiplication (no float rate anywhere, unlike the temperature
+    query's correctly-rounded p_d), so the sample is bit-stable across
+    re-runs, engines, partitionings, and cluster sizes. ``W_max`` caps the
+    acceptance scale: the heaviest document is kept with probability 1.
+
+    Scale shape: one map-side max for W_max, broadcast back as a scalar;
+    the corpus never shuffles — every other op is a stateless projection.
+    int64 bounds: draw < 2^30, w <= W_max ~ 10^3..10^5 tokens, so both
+    cross products stay under 2^47.
+    """
+    d = tbl(spark, sf, "documents")
+    w = (token_count(F.col("text")) + F.lit(1)).cast("long")
+    base = d.select("doc_id", w.alias("w"))
+    wmax = base.agg(F.max("w").alias("w_max"))
+    draw = F.pmod(
+        hash64(F.concat(F.lit("wsamp\x1f"), F.col("doc_id").cast("string"))),
+        F.lit(_WS_SCALE),
+    )
+    return base.join(F.broadcast(wmax)).select(
+        "doc_id",
+        "w",
+        "w_max",
+        (draw * F.col("w_max") < F.col("w") * F.lit(_WS_SCALE)).alias("sampled"),
+    )
+
+
+QUERIES["sample_weighted"] = q_sample_weighted
+
+from levenshtein_spark.oracles import dd_hash64 as _dd_h64  # noqa: E402
+
+ORACLES["sample_weighted"] = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({_DD_WS}) + 1 AS BIGINT) AS w FROM documents
+),
+mx AS (SELECT max(w) AS w_max FROM base)
+SELECT doc_id, w, w_max,
+       ({_dd_h64("'wsamp' || chr(31) || CAST(doc_id AS VARCHAR)")} % {_WS_SCALE})
+         * w_max < w * {_WS_SCALE} AS sampled
+FROM base, mx
+"""

@@ -1927,3 +1927,149 @@ FROM swcand c JOIN sw_result r ON r.pid = c.id_a * 10000000 + c.id_b
 
 
 ORACLES["er_smith_waterman"] = _sw_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Soft-TFIDF hybrid comparator (Cohen, Ravikumar & Fienberg 2003)
+# ---------------------------------------------------------------------------
+_ST_IDF_Q = 100          # idf quantization (integer weights)
+_ST_JW_Q = 1_000_000     # inner-JW quantization
+_ST_THETA_Q = 900_000    # CLOSE(theta): quantized JW >= 0.9
+_ST_PACK = 1 << 20       # (jwq, wb) packed argmax key; requires wb < 2^20
+
+
+def q_er_soft_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft-TFIDF over the blocked customer candidate universe — the
+    comparator Cohen, Ravikumar & Fienberg (2003) measured as the single
+    best name matcher in their survey: TF-IDF cosine where tokens match
+    SOFTLY (by Jaro–Winkler >= theta) instead of exactly, so per-token
+    typos no longer zero out the rare-token evidence.
+
+    ``score(A,B) = Σ_{w∈A, bestJW(w,B)>=θ} V(w,A)·V(best,B)·JW(w,best)``
+    with V the L2-normalized tf·idf weight.
+
+    Exactness discipline (the dedup_tfidf + er_monge_elkan playbook
+    composed): idf is the rational ``(N-df+0.5)/(df+0.5)`` quantized to an
+    integer; the per-(pair, A-token) best partner is an integer argmax over
+    the packed key ``jwq·2^20 + wb`` (deterministic under ties — larger
+    partner weight wins); the per-pair sum ``Σ wa·wb_best·jwq`` is
+    order-free int64 arithmetic (max term ~9e16, fits comfortably); the
+    only floats are two sqrts, one multiply chain, and one divide in fixed
+    order. The packed-key bound wb < 2^20 holds by construction:
+    tf <= name token count (~5) and idf_q <= idf ratio (~N/0.5 · Q/N) keep
+    wb ~ 3e5.
+
+    Scale shape: tf/df/norms are map-side-combining aggregates; the token
+    grid explodes off the slim pair stream (|pairs| × |A|·|B| rows, tiny
+    for names); one ArrowEvalPython JW batch; two aggregations. Same plan
+    family as er_monge_elkan with a weighted verify.
+    """
+    from levenshtein_spark.driver_queries.linkage import _customer_blocks
+    from levenshtein_spark.functions.distance import jaro_winkler
+    from levenshtein_spark.functions.text import word_tokens
+    from levenshtein_spark.operators.pairs import candidate_pairs
+
+    c = tbl(spark, sf, "customer")
+    toks = c.select(
+        F.col("c_custkey").alias("id"), F.explode(word_tokens(F.col("c_name"))).alias("tok")
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = c.count()
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf_q = F.round(
+        ((F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5))
+        * F.lit(float(_ST_IDF_Q))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    ).cast("long")
+    w = (
+        tf.join(dfs, "tok")
+        .select("id", "tok", (F.col("tf") * idf_q).alias("w"))
+        .transform(scoped_persist)
+    )
+    norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    blocks = _customer_blocks(spark, sf)
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    at = pairs.join(
+        w.select(F.col("id").alias("id_a"), F.col("tok").alias("ta"), F.col("w").alias("wa")),
+        "id_a",
+    )
+    grid = at.join(
+        w.select(F.col("id").alias("id_b"), F.col("tok").alias("tb"), F.col("w").alias("wb")),
+        "id_b",
+    )
+    jwq = F.round(jaro_winkler("ta", "tb") * F.lit(float(_ST_JW_Q))).cast("long")
+    packed = grid.select(
+        "id_a", "id_b", "ta", "wa",
+        (jwq * F.lit(_ST_PACK) + F.col("wb")).alias("pk"),
+    )
+    best = packed.groupBy("id_a", "id_b", "ta", "wa").agg(F.max("pk").alias("pk"))
+    term = F.when(
+        (F.col("pk") / F.lit(_ST_PACK)).cast("long") >= _ST_THETA_Q,
+        F.col("wa") * (F.col("pk") % F.lit(_ST_PACK)) * (F.col("pk") / F.lit(_ST_PACK)).cast("long"),
+    ).otherwise(F.lit(0))
+    sums = best.groupBy("id_a", "id_b").agg(F.sum(term).alias("s"))
+    score = F.round(
+        F.col("s").cast("double")
+        / (
+            F.sqrt(F.col("n2_a").cast("double"))
+            * F.sqrt(F.col("n2_b").cast("double"))
+            * F.lit(float(_ST_JW_Q))
+        ),
+        6,
+    )
+    return attach_pair_payload(sums, norms, ["n2"]).select(
+        "id_a", "id_b", score.alias("soft_tfidf")
+    )
+
+
+QUERIES["er_soft_tfidf"] = q_er_soft_tfidf
+
+
+def _soft_tfidf_oracle_sql() -> str:
+    from levenshtein_spark.oracles import dd_word_tokens
+
+    wt = dd_word_tokens("c_name")
+    return f"""
+WITH cand AS (SELECT id_a, id_b FROM ({_CUST_PAIRS}) p),
+tf AS (
+  SELECT c_custkey AS id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT c_custkey, unnest({wt}) AS tok FROM customer) t
+  GROUP BY 1, 2
+),
+dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+w AS (
+  SELECT id, tok,
+         tf * CAST(round((CAST((SELECT n FROM n) - df AS DOUBLE) + 0.5)
+                         * {float(_ST_IDF_Q)!r}
+                         / (CAST(df AS DOUBLE) + 0.5)) AS BIGINT) AS w
+  FROM tf JOIN dfs USING (tok)
+),
+norms AS (SELECT id, sum(w * w) AS n2 FROM w GROUP BY id),
+grid AS (
+  SELECT c.id_a, c.id_b, a.tok AS ta, a.w AS wa,
+         CAST(round(jaro_winkler_similarity(a.tok, b.tok) * {_ST_JW_Q}) AS BIGINT)
+           * {_ST_PACK} + b.w AS pk
+  FROM cand c
+  JOIN w a ON a.id = c.id_a
+  JOIN w b ON b.id = c.id_b
+),
+best AS (SELECT id_a, id_b, ta, wa, max(pk) AS pk FROM grid GROUP BY 1, 2, 3, 4),
+sums AS (
+  SELECT id_a, id_b,
+         sum(CASE WHEN pk // {_ST_PACK} >= {_ST_THETA_Q}
+                  THEN wa * (pk % {_ST_PACK}) * (pk // {_ST_PACK})
+                  ELSE 0 END) AS s
+  FROM best GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b,
+       round(CAST(s.s AS DOUBLE) /
+             (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))
+              * {float(_ST_JW_Q)!r}), 6) AS soft_tfidf
+FROM sums s
+JOIN norms na ON na.id = s.id_a
+JOIN norms nb ON nb.id = s.id_b
+"""
+
+
+ORACLES["er_soft_tfidf"] = _soft_tfidf_oracle_sql()
