@@ -1068,3 +1068,48 @@ FROM toks a JOIN toks b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.g, b.g)) * {_SJ_DEN}
       >= {_SJ_NUM} * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
 """
+
+
+_CT_NUM, _CT_DEN = 9, 10  # containment >= 0.9
+
+
+def q_setjoin_containment_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT ordered bigram-containment join over documents
+    (operators/setjoin.py:set_containment_join): every (inner, outer) pair
+    where >= {num}/{den} of the inner document's bigram shingles appear in
+    the outer document — the position-independent truncation/quotation
+    detector (dedup_prefix's char-prefix rule only sees PREFIX containment;
+    this sees mid-document inclusion and reordering). Brute-force twin
+    certifies the asymmetric prefix filter's losslessness.
+    """
+    from levenshtein_spark.functions.text import word_bigrams
+    from levenshtein_spark.operators.setjoin import set_containment_join
+
+    d = tbl(spark, sf, "documents").select(F.col("doc_id").alias("id"), "text")
+    out = set_containment_join(
+        d, word_bigrams(F.col("text")), _CT_NUM, _CT_DEN,
+        hot_threshold=500, num_salts=8,
+    )
+    return out.select(
+        F.col("id_inner").alias("doc_inner"),
+        F.col("id_outer").alias("doc_outer"),
+        "inter", "n_inner", "containment",
+    )
+
+
+QUERIES["setjoin_containment_docs"] = q_setjoin_containment_docs
+
+ORACLES["setjoin_containment_docs"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_SJ_GRAMS}) AS g
+  FROM documents
+  WHERE len(list_distinct({_SJ_GRAMS})) > 0
+)
+SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+       CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS inter,
+       CAST(len(a.g) AS BIGINT) AS n_inner,
+       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+             CAST(len(a.g) AS DOUBLE), 6) AS containment
+FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.g, b.g)) * {_CT_DEN} >= {_CT_NUM} * len(a.g)
+"""

@@ -39,7 +39,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
+from levenshtein_spark.operators.pairs import (
+    attach_pair_payload,
+    candidate_pairs,
+    candidate_pairs_lr,
+)
 
 
 def set_similarity_self_join(
@@ -92,5 +96,81 @@ def set_similarity_self_join(
             F.round(F.col("inter").cast("double") / F.col("uni").cast("double"), 6).alias(
                 "jaccard"
             ),
+        )
+    )
+
+
+def set_containment_join(
+    records: DataFrame,
+    tokens: Column,
+    t_num: int,
+    t_den: int,
+    id_col: str = "id",
+    hot_threshold: int = 2000,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Ordered containment pairs: every ``(inner, outer)`` with
+    ``|inner ∩ outer| >= (t_num/t_den)·|inner|`` and ``inner != outer`` —
+    exact. Output: ``(id_inner, id_outer, inter, n_inner, containment)``.
+
+    Containment is the asymmetric near-dup relation Jaccard cannot see: a
+    short document fully quoted inside a much longer one has Jaccard
+    ``|A|/|B| ≈ 0`` but containment 1. It is the position-independent
+    complement of ``dedup_prefix`` (char-prefix truncation): reordered,
+    interleaved, or mid-document inclusion all score the same.
+
+    Blocking is the asymmetric prefix filter: the INNER side needs overlap
+    ``>= ceil(t·|A|)``, so its ``|A| - ceil(t·|A|) + 1`` rarest tokens
+    (corpus-frequency order) must contain a shared token — pigeonhole, as
+    in :func:`set_similarity_self_join`; the OUTER side cannot bound which
+    of its tokens is shared, so it keys on ALL of them (the inverted-index
+    role — the same total key mass as any inverted index build, linear in
+    corpus tokens). Lossless; candidates verify by integer
+    cross-multiplication; heat (an inner prefix landing on a common token)
+    routes through the bipartite salted join.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+    slim = records.select(
+        F.col(id_col).alias("id"), F.array_distinct(tokens).alias("toks")
+    ).where(F.size("toks") > 0)
+    tok = slim.select("id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
+    census = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    plen = (
+        F.col("n")
+        - F.floor((F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / F.lit(t_den))
+        + 1
+    )
+    ranked = tok.join(census, "tok").withColumn(
+        "__r", F.row_number().over(Window.partitionBy("id").orderBy("__df", "tok"))
+    )
+    inner_keys = ranked.where(F.col("__r") <= plen).select(
+        F.concat(F.lit("ct|"), F.col("tok")).alias("block_key"), "id"
+    )
+    outer_keys = tok.select(
+        F.concat(F.lit("ct|"), F.col("tok")).alias("block_key"), "id"
+    )
+    pairs = candidate_pairs_lr(inner_keys, outer_keys, hot_threshold, num_salts)
+    pairs = pairs.where(F.col("id_l") != F.col("id_r")).select(
+        F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b")
+    )
+    fat = attach_pair_payload(pairs, slim, ["toks"])
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        fat.select(
+            F.col("id_a").alias("id_inner"),
+            F.col("id_b").alias("id_outer"),
+            inter.alias("inter"),
+            F.size("toks_a").alias("n_inner"),
+        )
+        .where(F.col("inter") * F.lit(t_den) >= F.lit(t_num) * F.col("n_inner"))
+        .select(
+            "id_inner",
+            "id_outer",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("n_inner").cast("long").alias("n_inner"),
+            F.round(
+                F.col("inter").cast("double") / F.col("n_inner").cast("double"), 6
+            ).alias("containment"),
         )
     )

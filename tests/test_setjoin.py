@@ -92,3 +92,51 @@ def test_rejects_bad_threshold(spark):
         set_similarity_self_join(df, F.col("toks"), 0, 5)
     with pytest.raises(ValueError):
         set_similarity_self_join(df, F.col("toks"), 6, 5)
+
+
+# ---------------------------------------------------------------------------
+# containment join
+# ---------------------------------------------------------------------------
+def _brute_containment(rows, t_num, t_den):
+    sets = {i: set(toks) for i, toks in rows if toks}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter * t_den >= t_num * len(sets[a]):
+                out.add((a, b, inter, len(sets[a])))
+    return out
+
+
+def _run_containment(spark, rows, t_num, t_den, **kw):
+    from levenshtein_spark.operators.setjoin import set_containment_join
+
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    got = set_containment_join(df, F.col("toks"), t_num, t_den, **kw)
+    return {
+        (r.id_inner, r.id_outer, r.inter, r.n_inner)
+        for r in got.select("id_inner", "id_outer", "inter", "n_inner").collect()
+    }
+
+
+def test_containment_lossless_vs_brute_force(spark):
+    vocab = [f"t{i}" for i in range(40)]
+    rows = _rand_rows(100, vocab, 10, seed=21)
+    # plant: 2000 fully inside 2001 (quote), 2002 mostly inside 2001
+    rows += [
+        (2000, vocab[:4]),
+        (2001, vocab[:20]),
+        (2002, vocab[2:8] + ["zz"]),
+    ]
+    for t_num, t_den in [(9, 10), (1, 1), (1, 2)]:
+        assert _run_containment(spark, rows, t_num, t_den) == _brute_containment(
+            rows, t_num, t_den
+        ), (t_num, t_den)
+
+
+def test_containment_is_asymmetric(spark):
+    rows = [(1, ["a", "b"]), (2, ["a", "b", "c", "d", "e", "f"])]
+    got = _run_containment(spark, rows, 1, 1)
+    assert got == {(1, 2, 2, 2)}  # 1 ⊂ 2, never 2 ⊂ 1
