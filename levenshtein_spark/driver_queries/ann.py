@@ -1257,3 +1257,90 @@ ranked AS (
 SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Density-based clustering (DBSCAN) over the embedding corpus
+# ---------------------------------------------------------------------------
+_DB_EPS = 0.25   # cosine eps — the dedup_embedding verify threshold
+_DB_MINPTS = 3   # core point: >= 3 eps-neighbors
+
+
+def q_embedding_dbscan(spark: SparkSession, sf: str) -> DataFrame:
+    """DBSCAN over embeddings (Ester et al. 1996) — the density clustering
+    every embedding-curation stack wants next to k-means: clusters of
+    arbitrary shape, plus an explicit NOISE label for isolated vectors
+    (k-means force-assigns those, polluting cells).
+
+    Defined semantics (the ``dedup_semantic`` discipline): the
+    eps-neighborhood graph is the banded multi-table LSH candidate set
+    (identical keys to ``dedup_embedding`` — the twin regenerates them
+    bit-for-bit) verified at exact cosine >= {eps}. Over that graph, the
+    textbook definitions verbatim: core = degree >= {minpts}; clusters =
+    connected components of the core-core subgraph labeled by their min
+    core id; border = non-core with a core neighbor, taking the min core
+    neighbor's cluster (deterministic — plain DBSCAN is order-dependent for
+    border points; min-label is the canonical tie-free choice); noise = -1.
+
+    Scale shape: degree is one map-side-combining count over the slim
+    symmetric edge stream; components run the same star-contraction loop as
+    linkage clustering (edges only, never the corpus); border assignment is
+    one edge-keyed join + min-agg. Nothing touches vectors after the edge
+    verify.
+    """
+    from levenshtein_spark.operators.clustering import dbscan_labels
+
+    edges = q_dedup_embedding(spark, sf).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    ids = tbl(spark, sf, "embeddings").select(F.col("vec_id").alias("id"))
+    return dbscan_labels(ids, edges, _DB_MINPTS).select(
+        F.col("id").alias("vec_id"), "deg", "is_core", "cluster"
+    )
+
+
+QUERIES["embedding_dbscan"] = q_embedding_dbscan
+
+ORACLES["embedding_dbscan"] = f"""
+WITH RECURSIVE
+keys AS ({_dd_banded_keys_sql()}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM keys l JOIN keys r ON l.block_key = r.block_key AND l.vec_id < r.vec_id
+),
+edges AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a
+  JOIN embeddings eb ON eb.vec_id = c.b
+  WHERE round({_dd_cosine('ea.embedding', 'eb.embedding')}, 6) >= {_DB_EPS}
+),
+sym AS (SELECT a AS v, b AS nb FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (
+  SELECT e.vec_id AS v, CAST(coalesce(d.cnt, 0) AS BIGINT) AS deg
+  FROM embeddings e
+  LEFT JOIN (SELECT v, count(*) AS cnt FROM sym GROUP BY v) d ON d.v = e.vec_id
+),
+core AS (SELECT v FROM deg WHERE deg >= {_DB_MINPTS}),
+core_edges AS (
+  SELECT s.v, s.nb FROM sym s
+  JOIN core x ON x.v = s.v JOIN core y ON y.v = s.nb
+),
+reach(root, node) AS (
+  SELECT v, v FROM core
+  UNION
+  SELECT r.root, e.nb FROM reach r JOIN core_edges e ON e.v = r.node
+),
+comp AS (SELECT root AS v, min(node) AS core_cl FROM reach GROUP BY root),
+border AS (
+  SELECT s.v, min(c.core_cl) AS border_cl
+  FROM sym s JOIN comp c ON c.v = s.nb
+  GROUP BY s.v
+)
+SELECT d.v AS vec_id, d.deg,
+       (cm.core_cl IS NOT NULL) AS is_core,
+       CAST(coalesce(cm.core_cl, bo.border_cl, -1) AS BIGINT) AS cluster
+FROM deg d
+LEFT JOIN comp cm ON cm.v = d.v
+LEFT JOIN border bo ON bo.v = d.v
+"""

@@ -141,3 +141,61 @@ def cluster_labels(
         .join(comp, "id", "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", "id"))
     )
+
+
+def dbscan_labels(all_ids: DataFrame, edges: DataFrame, min_pts: int) -> DataFrame:
+    """DBSCAN labels over a precomputed eps-neighborhood edge set
+    (Ester et al. 1996, the graph phase): given undirected ``edges(src,
+    dst)`` — whatever candidate generator + verifier produced them — and
+    ``all_ids(id)``, returns ``(id, deg, is_core, cluster)``:
+
+    * ``deg``      — eps-neighbor count;
+    * ``is_core``  — deg >= min_pts;
+    * ``cluster``  — cores: min core id of their core-core component (the
+      same star-contraction closure as linkage clustering); border points
+      (non-core with a core neighbor): the MIN core neighbor's cluster —
+      plain DBSCAN leaves border assignment order-dependent, min-label is
+      the canonical tie-free choice; noise: -1.
+
+    Scale shape: degree is a map-side-combining count on the slim symmetric
+    edge stream; components run over core-core edges only; border
+    assignment is one edge-keyed join + min-agg. Nothing here ever touches
+    payloads — the operator composes with any blocked edge family.
+    """
+    sym = edges.select(F.col("src").alias("v"), F.col("dst").alias("nb")).unionByName(
+        edges.select(F.col("dst").alias("v"), F.col("src").alias("nb"))
+    )
+    from levenshtein_spark.session import scoped_persist
+
+    sym = sym.transform(scoped_persist)
+    deg = (
+        all_ids.select(F.col("id").alias("v"))
+        .join(sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg")), "v", "left")
+        .select("v", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+    )
+    core = deg.where(F.col("deg") >= min_pts).select("v").transform(scoped_persist)
+    core_edges = (
+        sym.join(core.withColumnRenamed("v", "__ca"), sym["v"] == F.col("__ca"))
+        .join(core.withColumnRenamed("v", "__cb"), sym["nb"] == F.col("__cb"))
+        .select(F.col("v").alias("src"), F.col("nb").alias("dst"))
+    )
+    comp = cluster_labels(core.select(F.col("v").alias("id")), core_edges).select(
+        F.col("id").alias("v"), F.col("cluster_id").alias("core_cl")
+    )
+    border = (
+        sym.join(
+            comp.select(F.col("v").alias("nb"), F.col("core_cl").alias("nb_cl")), "nb"
+        )
+        .groupBy("v")
+        .agg(F.min("nb_cl").alias("border_cl"))
+    )
+    return (
+        deg.join(comp, "v", "left")
+        .join(border, "v", "left")
+        .select(
+            F.col("v").alias("id"),
+            "deg",
+            F.col("core_cl").isNotNull().alias("is_core"),
+            F.coalesce("core_cl", "border_cl", F.lit(-1)).cast("long").alias("cluster"),
+        )
+    )
