@@ -302,3 +302,79 @@ SELECT a.doc_id,
 FROM documents a LEFT JOIN per_doc p USING (doc_id)
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+_KW_TOP = 3
+_KW_Q = 1000  # rational-idf quantization (integer weights, order-free ranking)
+
+
+def q_text_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{k} TF-IDF keywords per document — the classic extractive
+    keyword/tag operator of a curation stack (index keys, topic hints,
+    dedup explanations). Weight = tf · idf with the engine's rational idf
+    ``(N - df + 0.5)/(df + 0.5)`` quantized to an integer (the dedup_tfidf
+    recipe), so ranking is pure integer comparison with a deterministic
+    (weight DESC, token ASC) tie order — bit-identical cross-engine, no
+    float ordering anywhere.
+
+    Scale shape: tf/df are map-side-combining aggregates; idf attaches by a
+    token-keyed join; the per-document rank compiles to WindowGroupLimit
+    (top-k pushed below the window sort, the sample_stratified shape).
+    """
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf, "documents")
+    toks = d.select(
+        F.col("doc_id"), F.explode(word_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.count()
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf_q = F.round(
+        ((F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5))
+        * F.lit(float(_KW_Q))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    ).cast("long")
+    w = tf.join(dfs, "tok").select(
+        "doc_id", "tok", (F.col("tf") * idf_q).alias("weight")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("weight"), "tok")
+    )
+    return (
+        w.withColumn("rank", rnk)
+        .where(F.col("rank") <= _KW_TOP)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "tok", "weight")
+    )
+
+
+QUERIES["text_keywords"] = q_text_keywords
+
+from levenshtein_spark.oracles import dd_word_tokens as _kw_toks  # noqa: E402
+
+ORACLES["text_keywords"] = f"""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_kw_toks('text')}) AS tok FROM documents) t
+  GROUP BY 1, 2
+),
+dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+w AS (
+  SELECT doc_id, tok,
+         tf * CAST(round((CAST((SELECT n FROM n) - df AS DOUBLE) + 0.5)
+                         * {float(_KW_Q)!r}
+                         / (CAST(df AS DOUBLE) + 0.5)) AS BIGINT) AS weight
+  FROM tf JOIN dfs USING (tok)
+),
+rk AS (
+  SELECT doc_id, tok, weight,
+         row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, tok) AS rank
+  FROM w
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, tok, weight
+FROM rk WHERE rank <= {_KW_TOP}
+"""

@@ -88,3 +88,8 @@ def test_rewritten_queries_join_on_block_key(spark):
         keys = [m.group(1) for m in re.finditer(r"Join Inner, \(([^)]*)\)", opt)]
         assert any("block_key" in k for k in keys), fn.__name__
         assert not any("c_nationkey#" in k and "= c_nationkey#" in k for k in keys), fn.__name__
+
+
+def test_text_keywords_window_group_limit(all_plans):
+    """Keyword top-k must push the per-document limit below the window sort."""
+    assert "WindowGroupLimit" in all_plans["text_keywords"]
