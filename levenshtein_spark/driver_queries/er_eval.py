@@ -2073,3 +2073,142 @@ JOIN norms nb ON nb.id = s.id_b
 
 
 ORACLES["er_soft_tfidf"] = _soft_tfidf_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# The Fellegi–Sunter comparison vector: every comparator in one pass
+# ---------------------------------------------------------------------------
+_FV_K = 4  # bounded-OSA cap for the distance feature
+
+
+def q_er_feature_vector(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPARISON-VECTOR stage of a Fellegi–Sunter linkage system: one
+    row per candidate pair carrying the full comparator stack side by side
+    — bounded OSA distance (the reference kernel), Jaro–Winkler, Smith–
+    Waterman local alignment (+ its normalized form), and Monge–Elkan —
+    the input a weight-training step (``fs_em_weights``) or a clerical-
+    review UI consumes. Runs on the same deterministic 1-in-{mod} pair
+    sample as ``er_smith_waterman`` (the oracle re-derives OSA and SW
+    through their recursive-CTE DPs, so the sample keeps it tractable).
+
+    Scale shape: ONE pass over the slim sampled pair stream for the three
+    scalar comparators (a single ArrowEvalPython node evaluates all three
+    kernels batch-wise — pairs are materialized once, not per comparator);
+    Monge–Elkan adds its token-grid aggregation joined back by pair id.
+    """
+    from levenshtein_spark.functions.align import SW_MATCH, smith_waterman
+    from levenshtein_spark.functions.distance import (
+        bounded_edit_dist_t,
+        jaro_winkler,
+    )
+    from levenshtein_spark.functions.hashing import hash64
+    from levenshtein_spark.functions.text import word_tokens
+
+    blocks = _customer_blocks(spark, sf)
+    pairs = candidate_pairs(blocks, hot_threshold=500, num_salts=8).drop("n_keys")
+    pairs = pairs.where(
+        hash64(
+            F.concat(
+                F.col("id_a").cast("string"), F.lit("_"), F.col("id_b").cast("string")
+            )
+        )
+        % _SW_SAMPLE_MOD
+        == 0
+    )
+    c = tbl(spark, sf, "customer")
+    rec = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    fat = attach_pair_payload(pairs, rec, ["name"]).transform(scoped_persist)
+    scored = fat.select(
+        "id_a",
+        "id_b",
+        bounded_edit_dist_t("name_a", "name_b", _FV_K).alias("d_osa"),
+        jaro_winkler("name_a", "name_b").alias("jw"),
+        smith_waterman("name_a", "name_b").alias("sw"),
+        F.least(F.octet_length("name_a"), F.octet_length("name_b")).alias("__lmin"),
+    )
+    scored = scored.select(
+        "id_a",
+        "id_b",
+        "d_osa",
+        "jw",
+        "sw",
+        F.round(
+            F.col("sw").cast("double")
+            / (F.lit(float(SW_MATCH)) * F.col("__lmin").cast("double")),
+            6,
+        ).alias("sw_norm"),
+    )
+    # Monge–Elkan on the same pair stream (the er_monge_elkan shape)
+    ta = fat.select(
+        "id_a", "id_b", "name_b",
+        F.size(word_tokens(F.col("name_a"))).alias("na"),
+        F.posexplode(word_tokens(F.col("name_a"))).alias("pa", "tok_a"),
+    )
+    tb = ta.select(
+        "id_a", "id_b", "na", "pa", "tok_a",
+        F.explode(word_tokens(F.col("name_b"))).alias("tok_b"),
+    )
+    best = (
+        tb.select("id_a", "id_b", "na", "pa", jaro_winkler("tok_a", "tok_b").alias("s"))
+        .groupBy("id_a", "id_b", "na", "pa")
+        .agg(F.round(F.max("s") * _ME_Q).cast("long").alias("q"))
+    )
+    me = best.groupBy("id_a", "id_b").agg(
+        F.round(
+            F.sum("q").cast("double")
+            / (F.max("na").cast("double") * F.lit(float(_ME_Q))),
+            6,
+        ).alias("monge_elkan")
+    )
+    return scored.join(me, ["id_a", "id_b"])
+
+
+QUERIES["er_feature_vector"] = q_er_feature_vector
+
+
+def _fv_oracle_sql() -> str:
+    from levenshtein_spark.functions.align import SW_MATCH
+    from levenshtein_spark.oracles import bounded_osa_expr, dd_hash64, osa_cte, sw_cte
+
+    h = dd_hash64("CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR)")
+    pid_pairs = "SELECT id_a * 10000000 + id_b AS pid, name_a AS s1, name_b AS s2 FROM fvcand"
+    return f"""
+WITH RECURSIVE
+fvcand AS (
+  SELECT id_a, id_b, name_a, name_b
+  FROM ({_CUST_PAIRS}) p
+  WHERE ({h}) % {_SW_SAMPLE_MOD} = 0
+),
+{osa_cte(pid_pairs)},
+{sw_cte(pid_pairs)},
+fvtk AS (
+  SELECT id_a, id_b,
+         {_ME_TOKS.format(c="name_a")} AS ta,
+         {_ME_TOKS.format(c="name_b")} AS tb
+  FROM fvcand
+),
+fvme AS (
+  SELECT id_a, id_b,
+         round(CAST(list_sum(list_transform(ta, a -> CAST(round(
+                 list_max(list_transform(tb, b -> jaro_winkler_similarity(a, b)))
+                 * {_ME_Q}) AS BIGINT))) AS DOUBLE)
+               / (CAST(len(ta) AS DOUBLE) * {float(_ME_Q)!r}), 6) AS monge_elkan
+  FROM fvtk
+)
+SELECT c.id_a, c.id_b,
+       CAST({bounded_osa_expr(_FV_K, "length(p.s1)", "length(p.s2)")} AS BIGINT) AS d_osa,
+       jaro_winkler_similarity(c.name_a, c.name_b) AS jw,
+       s.sw,
+       round(CAST(s.sw AS DOUBLE) /
+             ({float(SW_MATCH)!r} * least(strlen(c.name_a), strlen(c.name_b))), 6)
+         AS sw_norm,
+       m.monge_elkan
+FROM fvcand c
+JOIN osa_result r ON r.pid = c.id_a * 10000000 + c.id_b
+JOIN osa_pairs p ON p.pid = r.pid
+JOIN sw_result s ON s.pid = r.pid
+JOIN fvme m ON m.id_a = c.id_a AND m.id_b = c.id_b
+"""
+
+
+ORACLES["er_feature_vector"] = _fv_oracle_sql()

@@ -234,3 +234,129 @@ def one_to_one(
         F.min(F.struct(score_col, left_col)).alias("_b")
     ).select(F.col(f"_b.{left_col}").alias(left_col), right_col)
     return best_r.join(best_l, [left_col, right_col])
+
+
+def candidate_pairs_annotated(
+    blocks: DataFrame,
+    predicate,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    num_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """:func:`candidate_pairs` with per-(key, id) PAYLOAD and an in-join
+    pruning predicate — the hook for PPJoin-style positional filters, which
+    need to see both sides' per-key metadata BEFORE the pair is deduplicated
+    (the slim operator throws that context away).
+
+    ``blocks`` carries ``(block_key, id, extra...)``; every extra column is
+    exposed to ``predicate`` suffixed ``_a``/``_b`` (payloads follow their
+    ids through canonicalization, so ``x_a`` always belongs to ``id_a``).
+    ``predicate(df) -> Column`` is applied to each key-meeting of a pair;
+    the pair survives if ANY meeting passes. Output: ``(id_a < id_b,
+    n_keys)`` where n_keys counts PASSING meetings.
+
+    Salting is the same lossless triangle split as :func:`candidate_pairs`
+    — the predicate is applied after the salted join, so hot-block behavior
+    is unchanged.
+    """
+    extras = [c for c in blocks.columns if c not in ("block_key", "id")]
+    slim = blocks.select("block_key", "id", *extras)
+    sizes = slim.groupBy("block_key").count()
+    hot_keys = sizes.where(F.col("count") > hot_threshold).select("block_key")
+    tagged = slim.join(
+        F.broadcast(hot_keys.withColumn("__hot", F.lit(True))), "block_key", "left"
+    )
+
+    def _suffix(df: DataFrame, suf: str) -> DataFrame:
+        out = df.withColumnRenamed("id", f"id{suf}")
+        for c in extras:
+            out = out.withColumnRenamed(c, f"{c}{suf}")
+        return out
+
+    normal = tagged.where(F.col("__hot").isNull()).drop("__hot")
+    pn = (
+        _suffix(normal, "_a")
+        .join(_suffix(normal, "_b"), "block_key")
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+
+    hot = tagged.where(F.col("__hot")).drop("__hot")
+    hot_s = hot.withColumn(
+        "salt", F.pmod(F.xxhash64("id"), F.lit(num_salts)).cast("int")
+    )
+    left = (
+        _suffix(hot_s, "_l")
+        .withColumn("salt_t", F.explode(F.sequence(F.col("salt"), F.lit(num_salts - 1))))
+        .withColumnRenamed("salt", "salt_l")
+    )
+    right = _suffix(hot_s, "_r").withColumnRenamed("salt", "salt_t")
+    met = (
+        left.join(right, ["block_key", "salt_t"])
+        .where((F.col("salt_l") != F.col("salt_t")) | (F.col("id_l") < F.col("id_r")))
+        .where(F.col("id_l") != F.col("id_r"))
+    )
+    swap = F.col("id_l") > F.col("id_r")
+    canon = [
+        F.least("id_l", "id_r").alias("id_a"),
+        F.greatest("id_l", "id_r").alias("id_b"),
+    ]
+    for c in extras:
+        canon.append(F.when(swap, F.col(f"{c}_r")).otherwise(F.col(f"{c}_l")).alias(f"{c}_a"))
+        canon.append(F.when(swap, F.col(f"{c}_l")).otherwise(F.col(f"{c}_r")).alias(f"{c}_b"))
+    ph = met.select(*canon)
+
+    cols = ["id_a", "id_b"] + [f"{c}{s}" for c in extras for s in ("_a", "_b")]
+    meetings = pn.select(*cols).unionByName(ph.select(*cols))
+    passing = meetings.where(predicate(meetings))
+    return passing.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+def candidate_pairs_lr_annotated(
+    blocks_l: DataFrame,
+    blocks_r: DataFrame,
+    predicate,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    num_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """:func:`candidate_pairs_lr` with per-(key, id) payload and an in-join
+    predicate (the bipartite sibling of :func:`candidate_pairs_annotated`).
+    Left extras are exposed suffixed ``_l``, right extras ``_r``; a pair
+    ``(id_l, id_r)`` survives if ANY of its key-meetings passes. Output:
+    distinct ``(id_l, id_r)``.
+    """
+    ex_l = [c for c in blocks_l.columns if c not in ("block_key", "id")]
+    ex_r = [c for c in blocks_r.columns if c not in ("block_key", "id")]
+
+    def _suffix(df: DataFrame, extras, suf: str) -> DataFrame:
+        out = df.withColumnRenamed("id", f"id{suf}")
+        for c in extras:
+            out = out.withColumnRenamed(c, f"{c}{suf}")
+        return out
+
+    sl = _suffix(blocks_l.select("block_key", "id", *ex_l), ex_l, "_l")
+    sr = _suffix(blocks_r.select("block_key", "id", *ex_r), ex_r, "_r")
+    sizes = (
+        sl.groupBy("block_key").count().withColumnRenamed("count", "n_l")
+        .join(sr.groupBy("block_key").count().withColumnRenamed("count", "n_r"), "block_key")
+    )
+    hot_keys = sizes.where(F.col("n_l") * F.col("n_r") > hot_threshold).select("block_key")
+    tl = sl.join(F.broadcast(hot_keys.withColumn("__hot", F.lit(True))), "block_key", "left")
+    tr = sr.join(F.broadcast(hot_keys.withColumn("__hot", F.lit(True))), "block_key", "left")
+
+    pn = (
+        tl.where(F.col("__hot").isNull()).drop("__hot")
+        .join(tr.where(F.col("__hot").isNull()).drop("__hot"), "block_key")
+    )
+    hl = tl.where(F.col("__hot")).drop("__hot").withColumn(
+        "salt", F.pmod(F.xxhash64("id_l"), F.lit(num_salts)).cast("int")
+    )
+    hr = (
+        tr.where(F.col("__hot")).drop("__hot")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
+    )
+    ph = hl.join(hr, ["block_key", "salt"])
+
+    cols = ["id_l", "id_r"] + [f"{c}_l" for c in ex_l] + [f"{c}_r" for c in ex_r]
+    meetings = pn.select(*cols).unionByName(ph.select(*cols))
+    return (
+        meetings.where(predicate(meetings)).select("id_l", "id_r").distinct()
+    )

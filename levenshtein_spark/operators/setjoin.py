@@ -41,9 +41,32 @@ from pyspark.sql import Column, DataFrame, Window
 
 from levenshtein_spark.operators.pairs import (
     attach_pair_payload,
-    candidate_pairs,
-    candidate_pairs_lr,
+    candidate_pairs_annotated,
+    candidate_pairs_lr_annotated,
 )
+
+
+def allpairs_prefix_keys(slim: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """The ``(block_key, id, pos, n)`` rows behind
+    :func:`set_similarity_self_join` — factored out so benches/tests can
+    census candidate mass. ``slim`` must carry ``(id, toks)`` with non-empty
+    distinct token arrays. ``pos`` is the token's 1-based rank in the set's
+    global (df ASC, token ASC) order, ``n`` the set size — the metadata the
+    PPJoin positional filter consumes."""
+    tok = slim.select("id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
+    census = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    # integer ceil(t*n) = (t_num*n + t_den - 1) div t_den; prefix = n - ceil + 1
+    plen = (
+        F.col("n")
+        - F.floor((F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / F.lit(t_den))
+        + 1
+    )
+    ranked = tok.join(census, "tok").withColumn(
+        "pos", F.row_number().over(Window.partitionBy("id").orderBy("__df", "tok"))
+    )
+    return ranked.where(F.col("pos") <= plen).select(
+        F.concat(F.lit("ap|"), F.col("tok")).alias("block_key"), "id", "pos", "n"
+    )
 
 
 def set_similarity_self_join(
@@ -67,21 +90,27 @@ def set_similarity_self_join(
     slim = records.select(
         F.col(id_col).alias("id"), F.array_distinct(tokens).alias("toks")
     ).where(F.size("toks") > 0)
-    tok = slim.select("id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
-    census = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
-    # integer ceil(t*n) = (t_num*n + t_den - 1) div t_den; prefix = n - ceil + 1
-    plen = (
-        F.col("n")
-        - F.floor((F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / F.lit(t_den))
-        + 1
-    )
-    ranked = tok.join(census, "tok").withColumn(
-        "__r", F.row_number().over(Window.partitionBy("id").orderBy("__df", "tok"))
-    )
-    keys = ranked.where(F.col("__r") <= plen).select(
-        F.concat(F.lit("ap|"), F.col("tok")).alias("block_key"), "id"
-    )
-    pairs = candidate_pairs(keys, hot_threshold, num_salts).drop("n_keys")
+    keys = allpairs_prefix_keys(slim, t_num, t_den)
+
+    def ppjoin_filters(m):
+        # length filter: J >= t forces n_min/n_max >= t
+        length_ok = F.lit(t_num) * F.greatest("n_a", "n_b") <= F.lit(t_den) * F.least(
+            "n_a", "n_b"
+        )
+        # positional filter (Xiao et al. PPJoin): J >= t forces overlap
+        # o >= t/(1+t)·(n_a+n_b); at the FIRST common token (order position
+        # pos_a/pos_b) the overlap is bounded by 1 + min remaining suffix,
+        # so a valid pair's first common token always passes — pruning every
+        # meeting that fails keeps exactly the pairs with >= 1 passing
+        # meeting (lossless; integer cross-multiplied rational)
+        pos_ok = (
+            1 + F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b"))
+        ) * F.lit(t_num + t_den) >= F.lit(t_num) * (F.col("n_a") + F.col("n_b"))
+        return length_ok & pos_ok
+
+    pairs = candidate_pairs_annotated(
+        keys, ppjoin_filters, hot_threshold, num_salts
+    ).drop("n_keys")
     fat = attach_pair_payload(pairs, slim, ["toks"])
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     uni = F.size("toks_a") + F.size("toks_b") - inter
@@ -145,15 +174,35 @@ def set_containment_join(
         "__r", F.row_number().over(Window.partitionBy("id").orderBy("__df", "tok"))
     )
     inner_keys = ranked.where(F.col("__r") <= plen).select(
-        F.concat(F.lit("ct|"), F.col("tok")).alias("block_key"), "id"
+        F.concat(F.lit("ct|"), F.col("tok")).alias("block_key"),
+        "id",
+        F.col("__r").alias("pos"),
+        "n",
     )
-    outer_keys = tok.select(
-        F.concat(F.lit("ct|"), F.col("tok")).alias("block_key"), "id"
+    outer_keys = ranked.select(
+        F.concat(F.lit("ct|"), F.col("tok")).alias("block_key"),
+        "id",
+        F.col("__r").alias("pos"),
+        "n",
     )
-    pairs = candidate_pairs_lr(inner_keys, outer_keys, hot_threshold, num_salts)
-    pairs = pairs.where(F.col("id_l") != F.col("id_r")).select(
-        F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b")
-    )
+
+    def containment_filters(m):
+        # self-pairs, plus the PPJoin-style filters specialized to the
+        # asymmetric overlap requirement o >= ceil(t·n_inner):
+        # * length: the outer side must hold at least that many tokens;
+        # * positional: at the FIRST common token (global order) the
+        #   overlap is bounded by 1 + min remaining suffix — a valid
+        #   pair's first common meeting always passes (lossless).
+        not_self = F.col("id_l") != F.col("id_r")
+        length_ok = F.lit(t_den) * F.col("n_r") >= F.lit(t_num) * F.col("n_l")
+        pos_ok = (
+            1 + F.least(F.col("n_l") - F.col("pos_l"), F.col("n_r") - F.col("pos_r"))
+        ) * F.lit(t_den) >= F.lit(t_num) * F.col("n_l")
+        return not_self & length_ok & pos_ok
+
+    pairs = candidate_pairs_lr_annotated(
+        inner_keys, outer_keys, containment_filters, hot_threshold, num_salts
+    ).select(F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b"))
     fat = attach_pair_payload(pairs, slim, ["toks"])
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     return (

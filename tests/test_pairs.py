@@ -145,3 +145,72 @@ def test_one_to_one_mutual_best(spark):
     assert got == {(1, 10, 0), (2, 11, 0), (3, 12, 1)}
     # no id appears twice on either side
     assert len({a for a, _, _ in got}) == len(got) == len({b for _, b, _ in got})
+
+
+def test_candidate_pairs_annotated_parity_and_payload(spark):
+    """With an always-true predicate the annotated generator must produce
+    the identical (pair, n_keys) set as the slim one (hot + normal paths),
+    and payload columns must follow their ids through canonicalization."""
+    import random
+
+    from levenshtein_spark.operators.pairs import (
+        candidate_pairs_annotated,
+        candidate_pairs,
+    )
+
+    rng = random.Random(3)
+    rows = [(f"k{rng.randint(0, 5)}", i, i * 10) for i in range(200)]
+    # k0 gets a hot pile
+    rows += [("k0", 1000 + i, (1000 + i) * 10) for i in range(60)]
+    blocks = spark.createDataFrame(rows, "block_key string, id long, tag long")
+
+    slim = {
+        (r.id_a, r.id_b, r.n_keys)
+        for r in candidate_pairs(blocks, hot_threshold=40, num_salts=4).collect()
+    }
+    ann = candidate_pairs_annotated(
+        blocks, lambda m: F.lit(True), hot_threshold=40, num_salts=4
+    ).collect()
+    assert {(r.id_a, r.id_b, r.n_keys) for r in ann} == slim
+
+    # payload orientation: tag_x must equal id_x * 10 on every meeting — use
+    # a predicate that FAILS when payloads are swapped
+    ok = candidate_pairs_annotated(
+        blocks,
+        lambda m: (F.col("tag_a") == F.col("id_a") * 10)
+        & (F.col("tag_b") == F.col("id_b") * 10),
+        hot_threshold=40,
+        num_salts=4,
+    ).collect()
+    assert {(r.id_a, r.id_b, r.n_keys) for r in ok} == slim
+
+
+def test_candidate_pairs_lr_annotated_parity(spark):
+    from levenshtein_spark.operators.pairs import (
+        candidate_pairs_lr,
+        candidate_pairs_lr_annotated,
+    )
+
+    l = spark.createDataFrame(
+        [("a", i, i + 100) for i in range(30)] + [("b", 99, 199)],
+        "block_key string, id long, w long",
+    )
+    r = spark.createDataFrame(
+        [("a", 1000 + i, 1000 + i + 100) for i in range(25)],
+        "block_key string, id long, w long",
+    )
+    slim = {
+        (x.id_l, x.id_r)
+        for x in candidate_pairs_lr(
+            l.select("block_key", "id"), r.select("block_key", "id"),
+            hot_threshold=10, num_salts=3,
+        ).collect()
+    }
+    ann = candidate_pairs_lr_annotated(
+        l, r,
+        lambda m: (F.col("w_l") == F.col("id_l") + 100)
+        & (F.col("w_r") == F.col("id_r") + 100),
+        hot_threshold=10,
+        num_salts=3,
+    ).collect()
+    assert {(x.id_l, x.id_r) for x in ann} == slim
