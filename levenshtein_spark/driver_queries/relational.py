@@ -1113,3 +1113,42 @@ SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
 FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
 WHERE len(list_intersect(a.g, b.g)) * {_CT_DEN} >= {_CT_NUM} * len(a.g)
 """
+
+
+_MB_MIN_SUPPORT = 3
+
+
+def q_basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence (the A-Priori/FP-growth first pass): part
+    pairs ordered together in >= {s} distinct orders, with their support
+    counts — the "frequently bought together" primitive. All integer
+    counts; the pair space is generated per order (baskets are small — the
+    per-order self-join fans out C(items, 2), never the catalog square) and
+    aggregated map-side by (part_a, part_b).
+
+    Scale shape: one shuffle on orderkey to form baskets (already
+    co-located if lineitem is bucketed by orderkey — the warehouse layout),
+    one map-side-combining count per pair. A hot product pair is just a
+    large counter, never a large row group.
+    """
+    li = tbl(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "ok").where(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _MB_MIN_SUPPORT)
+    )
+
+
+QUERIES["basket_part_pairs"] = q_basket_part_pairs
+
+ORACLES["basket_part_pairs"] = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {_MB_MIN_SUPPORT}
+"""
