@@ -1267,3 +1267,99 @@ SELECT doc_id, w, w_max,
          * w_max < w * {_WS_SCALE} AS sampled
 FROM base, mx
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust length-outlier gate (median + MAD, both exact)
+# ---------------------------------------------------------------------------
+_OUT_K = 5  # flag |len - median| > K * MAD
+
+
+def q_corpus_length_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-language length-outlier gate: flag documents whose length
+    deviates from the language median by more than {k}×MAD (median absolute
+    deviation) — the outlier rule quality pipelines prefer over mean±stddev
+    because a heavy tail of giant documents cannot drag the threshold.
+
+    Both statistics are EXACT integers via the counting-sort histogram
+    (the ``corpus_percentiles`` shape, run twice): median = type-1 p50 of
+    the (lang, n_chars) histogram; MAD = type-1 p50 of the (lang,
+    |n_chars − median|) histogram. The flag compares integers — no float
+    anywhere, so the twin is bit-identical.
+
+    Scale shape: two map-side-combining histogram aggregations (state =
+    |langs| × |distinct lengths|), two windows over the HISTOGRAM rows, one
+    broadcast of the ≤|langs| stat table back onto the corpus. The corpus
+    shuffles zero times.
+    """
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf, "documents")
+
+    def _p50(df, val_col):
+        hist = df.groupBy("lang", val_col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("lang").orderBy(val_col)
+        wt = Window.partitionBy("lang")
+        s = hist.select(
+            "lang", val_col,
+            F.sum("c").over(w).alias("cum"), F.sum("c").over(wt).alias("tot"),
+        )
+        target = F.expr("(tot * 50 + 99) div 100")
+        return s.groupBy("lang").agg(
+            F.min(F.when(F.col("cum") >= target, F.col(val_col)))
+            .cast("long")
+            .alias("p50")
+        )
+
+    med = _p50(d, "n_chars").withColumnRenamed("p50", "med")
+    dev = d.join(F.broadcast(med), "lang").select(
+        "lang", F.abs(F.col("n_chars") - F.col("med")).alias("dev")
+    )
+    mad = _p50(dev, "dev").withColumnRenamed("p50", "mad")
+    stats = med.join(mad, "lang")
+    return d.join(F.broadcast(stats), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "med",
+        "mad",
+        (F.abs(F.col("n_chars") - F.col("med")) > F.lit(_OUT_K) * F.col("mad")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+QUERIES["corpus_length_outliers"] = q_corpus_length_outliers
+
+ORACLES["corpus_length_outliers"] = f"""
+WITH hist AS (
+  SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+),
+s AS (
+  SELECT lang, n_chars,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS tot
+  FROM hist
+),
+med AS (
+  SELECT lang, CAST(min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN n_chars END) AS BIGINT) AS med
+  FROM s GROUP BY lang
+),
+devh AS (
+  SELECT d.lang, abs(d.n_chars - m.med) AS dev, count(*) AS c
+  FROM documents d JOIN med m USING (lang) GROUP BY 1, 2
+),
+s2 AS (
+  SELECT lang, dev,
+         sum(c) OVER (PARTITION BY lang ORDER BY dev) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS tot
+  FROM devh
+),
+mad AS (
+  SELECT lang, CAST(min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN dev END) AS BIGINT) AS mad
+  FROM s2 GROUP BY lang
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars, m.med, a.mad,
+       (abs(d.n_chars - m.med) > {_OUT_K} * a.mad) AS is_outlier
+FROM documents d JOIN med m USING (lang) JOIN mad a USING (lang)
+"""
