@@ -90,11 +90,19 @@ def _sql_jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(batch_jaro_winkler(a.tolist(), b.tolist()))
 
 
-# Beyond the reference catalog: the companion ER comparator (functions/
-# jaro.py), named like DuckDB's builtin so SQL written against either
-# engine ports verbatim.
+@pandas_udf(LongType())
+def _sql_smith_waterman(a: pd.Series, b: pd.Series) -> pd.Series:
+    from levenshtein_spark.functions.align import batch_smith_waterman
+
+    return pd.Series(batch_smith_waterman(a.tolist(), b.tolist()))
+
+
+# Beyond the reference catalog: the companion ER comparators (functions/
+# jaro.py, functions/align.py). jaro_winkler_similarity is named like
+# DuckDB's builtin so SQL written against either engine ports verbatim.
 _EXTRAS = {
     "jaro_winkler_similarity": _sql_jaro_winkler,
+    "smith_waterman": _sql_smith_waterman,
 }
 
 _LEGACY = {

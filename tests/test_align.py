@@ -136,3 +136,13 @@ def test_cte_matches_kernel():
     got = {pid: sw for pid, sw in duckdb.sql(sql).fetchall()}
     for i, (a, b) in enumerate(pairs):
         assert got[i] == smith_waterman_ref(a, b), (a, b)
+
+
+def test_sql_registration(spark):
+    from levenshtein_spark.functions.register import register_all
+
+    register_all(spark)
+    row = spark.sql(
+        "SELECT smith_waterman('xxabcdxx', 'yyabcdyy') AS sw"
+    ).collect()[0]
+    assert row.sw == 8
