@@ -442,3 +442,82 @@ FROM fps a JOIN fps b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.afp, b.afp)) <= {_AF_HAM}
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup COLLAPSE (the dedup_canonical step for the image track)
+# ---------------------------------------------------------------------------
+def q_dedup_image_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """One canonical doc_id per image near-duplicate component: the aHash
+    Hamming ≤ {ham} pairs (real decoded rasters, lossless pigeonhole
+    blocking) become edges, components come from the same star-contraction
+    closure as every other collapse here, the canonical is the component
+    minimum, singletons label themselves — `dedup_canonical` for the image
+    modality, showing the graph stage composes across modalities unchanged.
+
+    The twin recomputes rasters, hashes, the Hamming ball, AND the closure
+    (recursive CTE), so one hash match certifies codec, hash arithmetic,
+    blocking losslessness, and the distributed component labels together.
+    """
+    from levenshtein_spark.operators.clustering import cluster_labels
+
+    edges = q_dedup_image_ahash(spark, sf).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    ids = tbl(spark, sf, "documents").select(F.col("doc_id").alias("id"))
+    return cluster_labels(ids, edges).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("canonical_id"),
+    )
+
+
+QUERIES["dedup_image_canonical"] = q_dedup_image_canonical
+
+_IC_HASHES = f"""
+dims AS (
+  SELECT doc_id,
+         {_PPM_W[0]} + (strlen(text) % {_PPM_W[1]}) AS w,
+         {_PPM_H[0]} + ((strlen(text) * 5) % {_PPM_H[1]}) AS h
+  FROM documents
+),
+cells AS (
+  SELECT d.doc_id, t.j,
+         (((t.j // {_AH_W}) * d.h) // {_AH_H}) * d.w + (((t.j % {_AH_W}) * d.w) // {_AH_W}) AS p
+  FROM dims d, UNNEST(range(0, {_AH_W * _AH_H})) AS t(j)
+),
+gray AS (
+  SELECT doc_id, j,
+         ( ((doc_id * 31 + 7 * (p * 3    )) % 256)
+         + ((doc_id * 31 + 7 * (p * 3 + 1)) % 256)
+         + ((doc_id * 31 + 7 * (p * 3 + 2)) % 256) ) // 3 AS g
+  FROM cells
+),
+tot AS (SELECT doc_id, sum(g) AS sg FROM gray GROUP BY doc_id),
+hashes AS (
+  SELECT g.doc_id,
+         CAST(sum(CASE WHEN g.g * {_AH_W * _AH_H} >= t.sg
+                       THEN (CAST(1 AS BIGINT) << g.j) ELSE 0 END) AS BIGINT) AS ahash
+  FROM gray g JOIN tot t USING (doc_id)
+  GROUP BY g.doc_id
+)"""
+
+ORACLES["dedup_image_canonical"] = f"""
+WITH RECURSIVE {_IC_HASHES},
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= {_AH_HAM}
+),
+und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+reach(root, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT CAST(root AS BIGINT) AS doc_id, CAST(min(node) AS BIGINT) AS canonical_id
+FROM reach GROUP BY root
+"""
