@@ -2212,3 +2212,63 @@ JOIN fvme m ON m.id_a = c.id_a AND m.id_b = c.id_b
 
 
 ORACLES["er_feature_vector"] = _fv_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Clerical-review queue (the FS 'possible' band, most ambiguous first)
+# ---------------------------------------------------------------------------
+_CQ_TOP = 50
+_CQ_MID = (_FS_UPPER + _FS_LOWER) / 2.0
+
+
+def q_linkage_clerical_queue(spark: SparkSession, sf: str) -> DataFrame:
+    """The clerical-review queue every production FS deployment staffs: the
+    'possible' band (between the match and non-match thresholds) ranked
+    most-ambiguous-first — |weight − midpoint| ascending — so reviewer (or
+    active-learning labeler) time goes to the pairs whose label moves the
+    decision boundary most. Top {top} with the agreement pattern attached
+    (the reviewer sees WHY the pair is ambiguous).
+
+    Determinism: weights are the injected-literal FS sums rounded to 6,
+    ambiguity derives from the rounded weight, and the order ties break on
+    (id_a, id_b) — bit-stable cross-engine. Scale shape: the global top-k
+    compiles to TakeOrderedAndProject (every partition keeps its local top
+    {top}, the driver merges k-sized heaps — no global sort); the rank
+    column is a window over the ALREADY-limited {top} rows.
+    """
+    from pyspark.sql import Window
+
+    base = q_fs_match_weights(spark, sf)
+    amb = F.round(F.abs(F.col("weight") - F.lit(_CQ_MID)), 6)
+    queue = (
+        base.where(F.col("match_class") == "possible")
+        .select(
+            "id_a", "id_b", "name_agree", "nation_agree", "seg_agree",
+            "weight", amb.alias("ambiguity"),
+        )
+        .orderBy("ambiguity", "id_a", "id_b")
+        .limit(_CQ_TOP)
+    )
+    w = Window.orderBy("ambiguity", "id_a", "id_b")
+    return queue.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "id_a", "id_b", "name_agree", "nation_agree", "seg_agree",
+        "weight", "ambiguity",
+    )
+
+
+QUERIES["linkage_clerical_queue"] = q_linkage_clerical_queue
+
+ORACLES["linkage_clerical_queue"] = f"""
+WITH fsq AS ({ORACLES["fs_match_weights"]}),
+poss AS (
+  SELECT id_a, id_b, name_agree, nation_agree, seg_agree, weight,
+         round(abs(weight - {_CQ_MID!r}), 6) AS ambiguity
+  FROM fsq WHERE match_class = 'possible'
+)
+SELECT CAST(row_number() OVER (ORDER BY ambiguity, id_a, id_b) AS INT) AS rank,
+       id_a, id_b, name_agree, nation_agree, seg_agree, weight, ambiguity
+FROM poss
+ORDER BY ambiguity, id_a, id_b
+LIMIT {_CQ_TOP}
+"""
