@@ -521,3 +521,74 @@ reach(root, node) AS (
 SELECT CAST(root AS BIGINT) AS doc_id, CAST(min(node) AS BIGINT) AS canonical_id
 FROM reach GROUP BY root
 """
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup COLLAPSE (same composition for the audio modality)
+# ---------------------------------------------------------------------------
+def q_dedup_audio_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """One canonical doc_id per audio near-duplicate component — the
+    fingerprint Hamming ≤ {ham} pairs (real RIFF/PCM decode, lossless
+    pigeonhole blocking) through the shared star-contraction closure. With
+    `dedup_canonical` (text) and `dedup_image_canonical`, this completes
+    the pattern: ONE graph stage serves every modality; only the edge
+    generator changes."""
+    from levenshtein_spark.operators.clustering import cluster_labels
+
+    edges = q_dedup_audio_fp(spark, sf).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    ids = tbl(spark, sf, "documents").select(F.col("doc_id").alias("id"))
+    return cluster_labels(ids, edges).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("canonical_id"),
+    )
+
+
+QUERIES["dedup_audio_canonical"] = q_dedup_audio_canonical
+
+_AC_FPS = f"""
+dims AS (
+  SELECT doc_id,
+         ({_WAV_NS[0]} + (strlen(text) % {_WAV_NS[1]})) * (1 + (doc_id % 2)) AS t
+  FROM documents
+),
+sv AS (
+  SELECT d.doc_id, d.t, (s.i * {_AF_SEG}) // d.t AS seg,
+         abs((((d.doc_id * 13 + s.i * 11) % 8192) - 4096)
+             * (1 + (d.doc_id + s.i // 8) % 7)) AS av
+  FROM dims d, UNNEST(range(0, d.t)) AS s(i)
+),
+segs AS (
+  SELECT doc_id, t, seg, sum(av) AS e, count(*) AS ln
+  FROM sv GROUP BY doc_id, t, seg
+),
+tots AS (SELECT doc_id, sum(av) AS tot FROM sv GROUP BY doc_id),
+fps AS (
+  SELECT s.doc_id,
+         CAST(sum(CASE WHEN s.e * s.t >= tt.tot * s.ln
+                       THEN (CAST(1 AS BIGINT) << s.seg) ELSE 0 END) AS BIGINT) AS afp
+  FROM segs s JOIN tots tt USING (doc_id)
+  GROUP BY s.doc_id
+)"""
+
+ORACLES["dedup_audio_canonical"] = f"""
+WITH RECURSIVE {_AC_FPS},
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.afp, b.afp)) <= {_AF_HAM}
+),
+und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+),
+reach(root, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT CAST(root AS BIGINT) AS doc_id, CAST(min(node) AS BIGINT) AS canonical_id
+FROM reach GROUP BY root
+"""
