@@ -779,3 +779,73 @@ WHERE least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) >= t.tot // {_CMS_DEN}
 
 
 ORACLES["streaming_cms"] = _streaming_cms_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Sliding (overlapping) windowed aggregation
+# ---------------------------------------------------------------------------
+_SLW_SINK = "streaming_sliding_counts_mem"
+_SLW_SLIDE = "30 minutes"
+
+
+def q_streaming_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregation (1-hour windows every 30
+    minutes) in append mode — the overlapping-window shape
+    ``streaming_windowed_counts`` (tumbling) doesn't exercise: every event
+    lands in exactly two windows, state per key doubles but stays bounded
+    by the watermark, and the append emission rule is unchanged
+    (``end <= final watermark``, equality emits).
+
+    The DuckDB twin enumerates each event's two covering window starts
+    explicitly — ``time_bucket(slide, ts) − k·slide for k ∈ {0, 1}`` —
+    which IS the Spark sliding-window assignment rule (epoch-aligned
+    starts s with s <= ts < s + width).
+    """
+    batch = tbl(spark, sf, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf)
+    )
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", _WIN)
+        .groupBy(F.window("ts", _WIN, _SLW_SLIDE).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_SLW_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_sliding_counts did not drain within 300s")
+    return spark.table(_SLW_SINK)
+
+
+QUERIES["streaming_sliding_counts"] = q_streaming_sliding_counts
+
+ORACLES["streaming_sliding_counts"] = """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+c AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - (k.k * INTERVAL 30 MINUTE) AS ws,
+         event_type
+  FROM events, UNNEST([0, 1]) AS k(k)
+),
+g AS (SELECT ws, event_type, count(*) AS n FROM c GROUP BY 1, 2)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type, CAST(n AS BIGINT) AS n
+FROM g, wm
+WHERE ws + INTERVAL 1 HOUR <= wm.w
+"""
