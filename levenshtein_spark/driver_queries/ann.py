@@ -1276,7 +1276,8 @@ def q_embedding_dbscan(spark: SparkSession, sf: str) -> DataFrame:
     eps-neighborhood graph is the banded multi-table LSH candidate set
     (identical keys to ``dedup_embedding`` — the twin regenerates them
     bit-for-bit) verified at exact cosine >= {eps}. Over that graph, the
-    textbook definitions verbatim: core = degree >= {minpts}; clusters =
+    textbook definitions verbatim: core = |N_eps(p)| >= {minpts} with p
+    counted inside its own neighborhood (degree + 1); clusters =
     connected components of the core-core subgraph labeled by their min
     core id; border = non-core with a core neighbor, taking the min core
     neighbor's cluster (deterministic — plain DBSCAN is order-dependent for
@@ -1321,7 +1322,7 @@ deg AS (
   FROM embeddings e
   LEFT JOIN (SELECT v, count(*) AS cnt FROM sym GROUP BY v) d ON d.v = e.vec_id
 ),
-core AS (SELECT v FROM deg WHERE deg >= {_DB_MINPTS}),
+core AS (SELECT v FROM deg WHERE deg + 1 >= {_DB_MINPTS}),
 core_edges AS (
   SELECT s.v, s.nb FROM sym s
   JOIN core x ON x.v = s.v JOIN core y ON y.v = s.nb

@@ -1910,19 +1910,22 @@ def _sw_oracle_sql() -> str:
     from levenshtein_spark.oracles import dd_hash64, sw_cte
 
     h = dd_hash64("CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR)")
+    # pid = row_number over the sampled pairs: collision-free at any key
+    # range (an id_a*C+id_b scheme would alias once custkeys reach C)
     return f"""
 WITH RECURSIVE
 swcand AS (
-  SELECT id_a, id_b, name_a, name_b
+  SELECT id_a, id_b, name_a, name_b,
+         row_number() OVER (ORDER BY id_a, id_b) AS pid
   FROM ({_CUST_PAIRS}) p
   WHERE ({h}) % {_SW_SAMPLE_MOD} = 0
 ),
-{sw_cte("SELECT id_a * 10000000 + id_b AS pid, name_a AS s1, name_b AS s2 FROM swcand")}
+{sw_cte("SELECT pid, name_a AS s1, name_b AS s2 FROM swcand")}
 SELECT c.id_a, c.id_b, r.sw,
        round(CAST(r.sw AS DOUBLE) /
              ({float(SW_MATCH)!r} * least(strlen(c.name_a), strlen(c.name_b))), 6)
          AS sw_norm
-FROM swcand c JOIN sw_result r ON r.pid = c.id_a * 10000000 + c.id_b
+FROM swcand c JOIN sw_result r USING (pid)
 """
 
 
@@ -1932,7 +1935,17 @@ ORACLES["er_smith_waterman"] = _sw_oracle_sql()
 # ---------------------------------------------------------------------------
 # Soft-TFIDF hybrid comparator (Cohen, Ravikumar & Fienberg 2003)
 # ---------------------------------------------------------------------------
-_ST_IDF_Q = 100          # idf quantization (integer weights)
+# idf quantization: the rational idf is N-NORMALIZED — idf_q =
+# round(Q·(N-df+0.5)/((df+0.5)·N)) — so the integer weight is bounded by the
+# RATIO (<= ~2Q/3 at df=1) independent of corpus size N. Dividing every
+# weight by the constant N leaves the cosine unchanged in real arithmetic
+# (it cancels against the norms); only the quantization grid moves. This is
+# what keeps the packed argmax key and the per-pair integer sum inside
+# int64 at ANY N: wb = tf·idf_q <= ~5·0.67·Q ≈ 3.4e5 < 2^20, and the sum
+# term wa·wb·jwq <= (3.4e5)²·1e6 ≈ 1.1e17, × a handful of tokens — two
+# orders of magnitude inside int64 (the un-normalized form silently
+# overflowed the 2^20 pack field past ~15k documents).
+_ST_IDF_Q = 100_000
 _ST_JW_Q = 1_000_000     # inner-JW quantization
 _ST_THETA_Q = 900_000    # CLOSE(theta): quantized JW >= 0.9
 _ST_PACK = 1 << 20       # (jwq, wb) packed argmax key; requires wb < 2^20
@@ -1955,9 +1968,9 @@ def q_er_soft_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     partner weight wins); the per-pair sum ``Σ wa·wb_best·jwq`` is
     order-free int64 arithmetic (max term ~9e16, fits comfortably); the
     only floats are two sqrts, one multiply chain, and one divide in fixed
-    order. The packed-key bound wb < 2^20 holds by construction:
-    tf <= name token count (~5) and idf_q <= idf ratio (~N/0.5 · Q/N) keep
-    wb ~ 3e5.
+    order. The packed-key bound wb < 2^20 holds AT ANY CORPUS SIZE because
+    the idf is N-normalized (see _ST_IDF_Q): idf_q <= ~2Q/3 regardless of
+    N, so wb = tf·idf_q stays ~3e5 whether N is 1,500 or 10^9.
 
     Scale shape: tf/df/norms are map-side-combining aggregates; the token
     grid explodes off the slim pair stream (|pairs| × |A|·|B| rows, tiny
@@ -1979,7 +1992,7 @@ def q_er_soft_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     idf_q = F.round(
         ((F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5))
         * F.lit(float(_ST_IDF_Q))
-        / (F.col("df").cast("double") + F.lit(0.5))
+        / ((F.col("df").cast("double") + F.lit(0.5)) * F.lit(float(n_docs)))
     ).cast("long")
     w = (
         tf.join(dfs, "tok")
@@ -2042,7 +2055,8 @@ w AS (
   SELECT id, tok,
          tf * CAST(round((CAST((SELECT n FROM n) - df AS DOUBLE) + 0.5)
                          * {float(_ST_IDF_Q)!r}
-                         / (CAST(df AS DOUBLE) + 0.5)) AS BIGINT) AS w
+                         / ((CAST(df AS DOUBLE) + 0.5)
+                            * CAST((SELECT n FROM n) AS DOUBLE))) AS BIGINT) AS w
   FROM tf JOIN dfs USING (tok)
 ),
 norms AS (SELECT id, sum(w * w) AS n2 FROM w GROUP BY id),
@@ -2171,11 +2185,13 @@ def _fv_oracle_sql() -> str:
     from levenshtein_spark.oracles import bounded_osa_expr, dd_hash64, osa_cte, sw_cte
 
     h = dd_hash64("CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR)")
-    pid_pairs = "SELECT id_a * 10000000 + id_b AS pid, name_a AS s1, name_b AS s2 FROM fvcand"
+    # collision-free pid (see _sw_oracle_sql)
+    pid_pairs = "SELECT pid, name_a AS s1, name_b AS s2 FROM fvcand"
     return f"""
 WITH RECURSIVE
 fvcand AS (
-  SELECT id_a, id_b, name_a, name_b
+  SELECT id_a, id_b, name_a, name_b,
+         row_number() OVER (ORDER BY id_a, id_b) AS pid
   FROM ({_CUST_PAIRS}) p
   WHERE ({h}) % {_SW_SAMPLE_MOD} = 0
 ),
@@ -2204,9 +2220,9 @@ SELECT c.id_a, c.id_b,
          AS sw_norm,
        m.monge_elkan
 FROM fvcand c
-JOIN osa_result r ON r.pid = c.id_a * 10000000 + c.id_b
-JOIN osa_pairs p ON p.pid = r.pid
-JOIN sw_result s ON s.pid = r.pid
+JOIN osa_result r ON r.pid = c.pid
+JOIN osa_pairs p ON p.pid = c.pid
+JOIN sw_result s ON s.pid = c.pid
 JOIN fvme m ON m.id_a = c.id_a AND m.id_b = c.id_b
 """
 

@@ -377,70 +377,16 @@ GROUP BY doc_id, n, ch, rate
     # (doc_id·31 + 7i) % 256; gray = (r+g+b)//3; bit rule is the integer
     # cross-multiplication g·56 ≥ Σg. All-pairs join then re-proves the
     # Spark side's pigeonhole blocking lossless for hamming ≤ 6.
-    "dedup_image_ahash": f"""
-WITH dims AS (
-  SELECT doc_id,
-         {_PPM_W[0]} + (strlen(text) % {_PPM_W[1]}) AS w,
-         {_PPM_H[0]} + ((strlen(text) * 5) % {_PPM_H[1]}) AS h
-  FROM documents
-),
-cells AS (
-  SELECT d.doc_id, t.j,
-         (((t.j // {_AH_W}) * d.h) // {_AH_H}) * d.w + (((t.j % {_AH_W}) * d.w) // {_AH_W}) AS p
-  FROM dims d, UNNEST(range(0, {_AH_W * _AH_H})) AS t(j)
-),
-gray AS (
-  SELECT doc_id, j,
-         ( ((doc_id * 31 + 7 * (p * 3    )) % 256)
-         + ((doc_id * 31 + 7 * (p * 3 + 1)) % 256)
-         + ((doc_id * 31 + 7 * (p * 3 + 2)) % 256) ) // 3 AS g
-  FROM cells
-),
-tot AS (SELECT doc_id, sum(g) AS sg FROM gray GROUP BY doc_id),
-hashes AS (
-  SELECT g.doc_id,
-         CAST(sum(CASE WHEN g.g * {_AH_W * _AH_H} >= t.sg
-                       THEN (CAST(1 AS BIGINT) << g.j) ELSE 0 END) AS BIGINT) AS ahash
-  FROM gray g JOIN tot t USING (doc_id)
-  GROUP BY g.doc_id
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
-FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.ahash, b.ahash)) <= {_AH_HAM}
-""",
+    # rebuilt below from _IC_HASHES — ONE shared raster/hash CTE body for
+    # the pair-level and canonical-level twins of this modality
+    "dedup_image_ahash": "",
+
     # brute force over the closed-form AM sample stream: flat sample i of T
     # = n·ch is (((doc_id·13 + 11i) % 8192) − 4096) · (1 + (doc_id + i//8) % 7);
     # segment = i·56 // T; bit = energy·T >= total·len (integer cross-mult)
-    "dedup_audio_fp": f"""
-WITH dims AS (
-  SELECT doc_id,
-         ({_WAV_NS[0]} + (strlen(text) % {_WAV_NS[1]})) * (1 + (doc_id % 2)) AS t
-  FROM documents
-),
-sv AS (
-  SELECT d.doc_id, d.t, (s.i * {_AF_SEG}) // d.t AS seg,
-         abs((((d.doc_id * 13 + s.i * 11) % 8192) - 4096)
-             * (1 + (d.doc_id + s.i // 8) % 7)) AS av
-  FROM dims d, UNNEST(range(0, d.t)) AS s(i)
-),
-segs AS (
-  SELECT doc_id, t, seg, sum(av) AS e, count(*) AS ln
-  FROM sv GROUP BY doc_id, t, seg
-),
-tots AS (SELECT doc_id, sum(av) AS tot FROM sv GROUP BY doc_id),
-fps AS (
-  SELECT s.doc_id,
-         CAST(sum(CASE WHEN s.e * s.t >= tt.tot * s.ln
-                       THEN (CAST(1 AS BIGINT) << s.seg) ELSE 0 END) AS BIGINT) AS afp
-  FROM segs s JOIN tots tt USING (doc_id)
-  GROUP BY s.doc_id
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
-FROM fps a JOIN fps b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.afp, b.afp)) <= {_AF_HAM}
-""",
+    # rebuilt below from _AC_FPS (same sharing for the audio modality)
+    "dedup_audio_fp": "",
+
 }
 
 
@@ -500,6 +446,18 @@ hashes AS (
   FROM gray g JOIN tot t USING (doc_id)
   GROUP BY g.doc_id
 )"""
+
+# for dst (x, y) is (⌊x·w/8⌋, ⌊y·h/7⌋); pixel byte at flat index i is
+# (doc_id·31 + 7i) % 256; gray = (r+g+b)//3; bit rule is the integer
+# cross-multiplication g·56 ≥ Σg. All-pairs join then re-proves the
+# Spark side's pigeonhole blocking lossless for hamming ≤ 6.
+ORACLES["dedup_image_ahash"] = f"""
+WITH {_IC_HASHES}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {_AH_HAM}
+"""
 
 ORACLES["dedup_image_canonical"] = f"""
 WITH RECURSIVE {_IC_HASHES},
@@ -571,6 +529,17 @@ fps AS (
   FROM segs s JOIN tots tt USING (doc_id)
   GROUP BY s.doc_id
 )"""
+
+# brute force over the closed-form AM sample stream: flat sample i of T
+# = n·ch is (((doc_id·13 + 11i) % 8192) − 4096) · (1 + (doc_id + i//8) % 7);
+# segment = i·56 // T; bit = energy·T >= total·len (integer cross-mult)
+ORACLES["dedup_audio_fp"] = f"""
+WITH {_AC_FPS}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= {_AF_HAM}
+"""
 
 ORACLES["dedup_audio_canonical"] = f"""
 WITH RECURSIVE {_AC_FPS},

@@ -49,9 +49,16 @@ SW_MATCH = 2
 SW_MISMATCH = 1  # penalty (subtracted)
 SW_GAP = 1  # penalty per gap byte (subtracted)
 
-# Rows per vectorized chunk: bounds the (rows x max_len+1) int32 scratch
-# matrices (at 256-byte strings: ~8k x 257 x 3 arrays x 4B ≈ 25 MB).
+# Chunking bounds (kernel.py's cell-budget discipline): a chunk closes when
+# rows x max_la x max_lb — the WORK the lockstep loop actually does, since
+# every row is padded to the chunk maxima — would exceed _SW_CELL_BUDGET,
+# or at _SW_PAIRS_CHUNK rows. Row-count-only chunking would let ONE long
+# string inflate both the scratch (8k rows x a 1 MB value ≈ 32 GB) and the
+# compute (8k x 1M x short) for the whole chunk; the cell budget isolates
+# oversized pairs into their own chunks instead (a single pair may exceed
+# the budget alone — its cost is irreducible).
 _SW_PAIRS_CHUNK = 1 << 13
+_SW_CELL_BUDGET = 1 << 27
 
 
 def smith_waterman_ref(
@@ -83,9 +90,19 @@ def batch_smith_waterman(
     """Local-alignment scores for a batch of pairs (int64 array)."""
     n = len(a_list)
     out = np.zeros(n, dtype=np.int64)
-    for lo in range(0, n, _SW_PAIRS_CHUNK):
-        hi = min(n, lo + _SW_PAIRS_CHUNK)
+    lo = 0
+    while lo < n:
+        hi = lo
+        max_la = max_lb = 1
+        while hi < n and (hi - lo) < _SW_PAIRS_CHUNK:
+            la = max(max_la, len(a_list[hi]) if a_list[hi] else 0)
+            lb = max(max_lb, len(b_list[hi]) if b_list[hi] else 0)
+            if (hi - lo + 1) * la * lb > _SW_CELL_BUDGET and hi > lo:
+                break
+            max_la, max_lb = la, lb
+            hi += 1
         out[lo:hi] = _sw_chunk(a_list[lo:hi], b_list[lo:hi])
+        lo = hi
     return out
 
 

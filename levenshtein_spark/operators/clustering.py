@@ -149,8 +149,10 @@ def dbscan_labels(all_ids: DataFrame, edges: DataFrame, min_pts: int) -> DataFra
     dst)`` — whatever candidate generator + verifier produced them — and
     ``all_ids(id)``, returns ``(id, deg, is_core, cluster)``:
 
-    * ``deg``      — eps-neighbor count;
-    * ``is_core``  — deg >= min_pts;
+    * ``deg``      — eps-neighbor count (excluding the point itself);
+    * ``is_core``  — ``deg + 1 >= min_pts`` — the textbook rule counts the
+      point inside its own eps-neighborhood (|N_eps(p)| includes p), so a
+      published MinPts configuration ports verbatim;
     * ``cluster``  — cores: min core id of their core-core component (the
       same star-contraction closure as linkage clustering); border points
       (non-core with a core neighbor): the MIN core neighbor's cluster —
@@ -173,7 +175,7 @@ def dbscan_labels(all_ids: DataFrame, edges: DataFrame, min_pts: int) -> DataFra
         .join(sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg")), "v", "left")
         .select("v", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
     )
-    core = deg.where(F.col("deg") >= min_pts).select("v").transform(scoped_persist)
+    core = deg.where(F.col("deg") + 1 >= min_pts).select("v").transform(scoped_persist)
     core_edges = (
         sym.join(core.withColumnRenamed("v", "__ca"), sym["v"] == F.col("__ca"))
         .join(core.withColumnRenamed("v", "__cb"), sym["nb"] == F.col("__cb"))

@@ -256,7 +256,12 @@ def candidate_pairs_annotated(
 
     Salting is the same lossless triangle split as :func:`candidate_pairs`
     — the predicate is applied after the salted join, so hot-block behavior
-    is unchanged.
+    is unchanged. DELIBERATE PARALLEL IMPLEMENTATION: the slim operator
+    stays untouched (it backs ~40 green queries and additionally supports
+    ``adaptive_target_rows``, which this variant does not); the two are
+    pinned pair-for-pair equal under an always-true predicate in
+    tests/test_pairs.py — any change to the triangle-salt rules must land
+    in both and keep that parity test green.
     """
     extras = [c for c in blocks.columns if c not in ("block_key", "id")]
     slim = blocks.select("block_key", "id", *extras)

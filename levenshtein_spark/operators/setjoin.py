@@ -46,25 +46,64 @@ from levenshtein_spark.operators.pairs import (
 )
 
 
-def allpairs_prefix_keys(slim: DataFrame, t_num: int, t_den: int) -> DataFrame:
-    """The ``(block_key, id, pos, n)`` rows behind
-    :func:`set_similarity_self_join` — factored out so benches/tests can
-    census candidate mass. ``slim`` must carry ``(id, toks)`` with non-empty
-    distinct token arrays. ``pos`` is the token's 1-based rank in the set's
-    global (df ASC, token ASC) order, ``n`` the set size — the metadata the
-    PPJoin positional filter consumes."""
+def _ranked_tokens(slim: DataFrame) -> DataFrame:
+    """``(id, n, tok, pos)``: each set's tokens ranked 1.. under the global
+    (corpus df ASC, token ASC) total order — the single source of truth for
+    every prefix-filter key family here. ``slim`` must carry ``(id, toks)``
+    with non-empty distinct token arrays."""
     tok = slim.select("id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
     census = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
-    # integer ceil(t*n) = (t_num*n + t_den - 1) div t_den; prefix = n - ceil + 1
-    plen = (
+    return tok.join(census, "tok").select(
+        "id", "n", "tok",
+        F.row_number().over(Window.partitionBy("id").orderBy("__df", "tok")).alias("pos"),
+    )
+
+
+def _prefix_len(t_num: int, t_den: int) -> Column:
+    """Prefix length |x| - ceil(t·|x|) + 1 over column ``n``, in integer
+    arithmetic: ceil(t*n) = (t_num*n + t_den - 1) div t_den — the
+    prefix-filter lemma's bound (one shared derivation for both joins)."""
+    return (
         F.col("n")
         - F.floor((F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / F.lit(t_den))
         + 1
     )
-    ranked = tok.join(census, "tok").withColumn(
-        "pos", F.row_number().over(Window.partitionBy("id").orderBy("__df", "tok"))
-    )
-    return ranked.where(F.col("pos") <= plen).select(
+
+
+def ppjoin_predicate(t_num: int, t_den: int):
+    """The PPJoin positional + length filters for ``Jaccard >= t_num/t_den``
+    as a meeting predicate for :func:`candidate_pairs_annotated` — exported
+    so benches census EXACTLY what the operator runs.
+
+    * length filter: J >= t forces n_min/n_max >= t;
+    * positional filter (Xiao et al. PPJoin): J >= t forces overlap
+      o >= t/(1+t)·(n_a+n_b); at the FIRST common token (order positions
+      pos_a/pos_b) the overlap is bounded by 1 + min remaining suffix, so a
+      valid pair's first common meeting always passes — pruning every
+      failing meeting keeps exactly the pairs with >= 1 passing meeting
+      (lossless; integer cross-multiplied rational).
+    """
+
+    def pred(m):
+        length_ok = F.lit(t_num) * F.greatest("n_a", "n_b") <= F.lit(
+            t_den
+        ) * F.least("n_a", "n_b")
+        pos_ok = (
+            1 + F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b"))
+        ) * F.lit(t_num + t_den) >= F.lit(t_num) * (F.col("n_a") + F.col("n_b"))
+        return length_ok & pos_ok
+
+    return pred
+
+
+def allpairs_prefix_keys(slim: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """The ``(block_key, id, pos, n)`` rows behind
+    :func:`set_similarity_self_join` — factored out so benches/tests can
+    census candidate mass. ``pos`` is the token's 1-based rank in the set's
+    global (df ASC, token ASC) order, ``n`` the set size — the metadata the
+    PPJoin positional filter consumes."""
+    ranked = _ranked_tokens(slim)
+    return ranked.where(F.col("pos") <= _prefix_len(t_num, t_den)).select(
         F.concat(F.lit("ap|"), F.col("tok")).alias("block_key"), "id", "pos", "n"
     )
 
@@ -91,25 +130,8 @@ def set_similarity_self_join(
         F.col(id_col).alias("id"), F.array_distinct(tokens).alias("toks")
     ).where(F.size("toks") > 0)
     keys = allpairs_prefix_keys(slim, t_num, t_den)
-
-    def ppjoin_filters(m):
-        # length filter: J >= t forces n_min/n_max >= t
-        length_ok = F.lit(t_num) * F.greatest("n_a", "n_b") <= F.lit(t_den) * F.least(
-            "n_a", "n_b"
-        )
-        # positional filter (Xiao et al. PPJoin): J >= t forces overlap
-        # o >= t/(1+t)·(n_a+n_b); at the FIRST common token (order position
-        # pos_a/pos_b) the overlap is bounded by 1 + min remaining suffix,
-        # so a valid pair's first common token always passes — pruning every
-        # meeting that fails keeps exactly the pairs with >= 1 passing
-        # meeting (lossless; integer cross-multiplied rational)
-        pos_ok = (
-            1 + F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b"))
-        ) * F.lit(t_num + t_den) >= F.lit(t_num) * (F.col("n_a") + F.col("n_b"))
-        return length_ok & pos_ok
-
     pairs = candidate_pairs_annotated(
-        keys, ppjoin_filters, hot_threshold, num_salts
+        keys, ppjoin_predicate(t_num, t_den), hot_threshold, num_salts
     ).drop("n_keys")
     fat = attach_pair_payload(pairs, slim, ["toks"])
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -163,27 +185,12 @@ def set_containment_join(
     slim = records.select(
         F.col(id_col).alias("id"), F.array_distinct(tokens).alias("toks")
     ).where(F.size("toks") > 0)
-    tok = slim.select("id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
-    census = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
-    plen = (
-        F.col("n")
-        - F.floor((F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / F.lit(t_den))
-        + 1
-    )
-    ranked = tok.join(census, "tok").withColumn(
-        "__r", F.row_number().over(Window.partitionBy("id").orderBy("__df", "tok"))
-    )
-    inner_keys = ranked.where(F.col("__r") <= plen).select(
-        F.concat(F.lit("ct|"), F.col("tok")).alias("block_key"),
-        "id",
-        F.col("__r").alias("pos"),
-        "n",
+    ranked = _ranked_tokens(slim)
+    inner_keys = ranked.where(F.col("pos") <= _prefix_len(t_num, t_den)).select(
+        F.concat(F.lit("ct|"), F.col("tok")).alias("block_key"), "id", "pos", "n"
     )
     outer_keys = ranked.select(
-        F.concat(F.lit("ct|"), F.col("tok")).alias("block_key"),
-        "id",
-        F.col("__r").alias("pos"),
-        "n",
+        F.concat(F.lit("ct|"), F.col("tok")).alias("block_key"), "id", "pos", "n"
     )
 
     def containment_filters(m):

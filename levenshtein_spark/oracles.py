@@ -111,6 +111,12 @@ def sw_cte(pairs_sql: str) -> str:
     no running-best column needed. Oracle duty only (O(n·m²) list ops per
     pair), mirroring the role of the reference's full-matrix
     ``edit_dist_t_2d`` (src/edit_dist_t_2d.cpp:8-9).
+
+    Unit caveat (shared with ``osa_cte``): DuckDB ``substr``/``length``
+    count CHARACTERS while the NumPy kernel scores UTF-8 BYTES — identical
+    on ASCII, divergent on multi-byte text ('é' scores 4 in the kernel,
+    2 here). Every driver query routed through this CTE runs on ASCII
+    columns (customer names); a non-ASCII corpus needs a blob-based twin.
     """
     from levenshtein_spark.functions.align import SW_GAP, SW_MATCH, SW_MISMATCH
 

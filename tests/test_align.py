@@ -146,3 +146,20 @@ def test_sql_registration(spark):
         "SELECT smith_waterman('xxabcdxx', 'yyabcdyy') AS sw"
     ).collect()[0]
     assert row.sw == 8
+
+
+def test_area_budget_chunking_one_giant_string():
+    # one long value among many short ones must not inflate the whole
+    # chunk's scratch to rows x giant (area-budget chunking isolates it),
+    # and every score stays exact. The giant pair's best local alignment is
+    # the planted 'needle' (the x/y runs share no byte): score 2·6 = 12 —
+    # known analytically, since the O(n·m) scalar reference is infeasible
+    # at this size.
+    a = ["ab" * 3 for _ in range(500)]
+    b = ["ba" * 3 for _ in range(500)]
+    a[250] = "x" * 30_000 + "needle"
+    b[250] = "y" * 20_000 + "needle"
+    got = batch_smith_waterman(a, b)
+    assert got[250] == 12
+    for i in (0, 123, 249, 251, 499):
+        assert got[i] == smith_waterman_ref(a[i], b[i])

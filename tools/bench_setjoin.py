@@ -50,14 +50,15 @@ def _corpus(spark, reps: int):
 
 def _run(spark, corpus) -> dict:
     from levenshtein_spark.functions.text import word_bigrams
-    from levenshtein_spark.operators.pairs import candidate_pairs
+    from levenshtein_spark.operators.pairs import (
+        candidate_pairs,
+        candidate_pairs_annotated,
+    )
     from levenshtein_spark.operators.setjoin import (
         allpairs_prefix_keys,
+        ppjoin_predicate,
         set_similarity_self_join,
     )
-
-    from levenshtein_spark.operators.pairs import candidate_pairs_annotated
-    from levenshtein_spark.operators.setjoin import set_similarity_self_join as _ssj
 
     d = corpus.select(F.col("doc_id").alias("id"), "text")
     n = d.count()
@@ -69,18 +70,11 @@ def _run(spark, corpus) -> dict:
     n_prefix = candidate_pairs(
         keys.select("block_key", "id"), hot_threshold=500, num_salts=8
     ).count()
-    # census 2: + PPJoin positional & length filters (what the operator runs)
-
-    def ppf(m):
-        length_ok = F.lit(_T_NUM) * F.greatest("n_a", "n_b") <= F.lit(
-            _T_DEN
-        ) * F.least("n_a", "n_b")
-        pos_ok = (
-            1 + F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b"))
-        ) * F.lit(_T_NUM + _T_DEN) >= F.lit(_T_NUM) * (F.col("n_a") + F.col("n_b"))
-        return length_ok & pos_ok
-
-    n_cand = candidate_pairs_annotated(keys, ppf, hot_threshold=500, num_salts=8).count()
+    # census 2: + PPJoin positional & length filters — the IMPORTED operator
+    # predicate, so this number is exactly what set_similarity_self_join runs
+    n_cand = candidate_pairs_annotated(
+        keys, ppjoin_predicate(_T_NUM, _T_DEN), hot_threshold=500, num_salts=8
+    ).count()
     t0 = time.time()
     out = set_similarity_self_join(
         d, word_bigrams(F.col("text")), _T_NUM, _T_DEN,
