@@ -129,7 +129,12 @@ def set_similarity_self_join(
     slim = records.select(
         F.col(id_col).alias("id"), F.array_distinct(tokens).alias("toks")
     ).where(F.size("toks") > 0)
-    keys = allpairs_prefix_keys(slim, t_num, t_den)
+    # persisted: the key table holds a census + window lineage and feeds the
+    # pair generator's size census AND both join sides (house style — see
+    # dedup_minhash); scoped for harness release
+    from levenshtein_spark.session import scoped_persist
+
+    keys = allpairs_prefix_keys(slim, t_num, t_den).transform(scoped_persist)
     pairs = candidate_pairs_annotated(
         keys, ppjoin_predicate(t_num, t_den), hot_threshold, num_salts
     ).drop("n_keys")
@@ -185,7 +190,11 @@ def set_containment_join(
     slim = records.select(
         F.col(id_col).alias("id"), F.array_distinct(tokens).alias("toks")
     ).where(F.size("toks") > 0)
-    ranked = _ranked_tokens(slim)
+    from levenshtein_spark.session import scoped_persist
+
+    # persisted: both key families project from one ranked-token table whose
+    # lineage holds the census join + rank window
+    ranked = _ranked_tokens(slim).transform(scoped_persist)
     inner_keys = ranked.where(F.col("pos") <= _prefix_len(t_num, t_den)).select(
         F.concat(F.lit("ct|"), F.col("tok")).alias("block_key"), "id", "pos", "n"
     )
