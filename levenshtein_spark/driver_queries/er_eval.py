@@ -1896,7 +1896,7 @@ def q_er_smith_waterman(spark: SparkSession, sf: str) -> DataFrame:
         "sw",
         F.round(
             F.col("sw").cast("double")
-            / (F.lit(float(SW_MATCH)) * F.col("__lmin").cast("double")),
+            / (F.lit(float(SW_MATCH)) * F.greatest(F.lit(1), F.col("__lmin")).cast("double")),
             6,
         ).alias("sw_norm"),
     )
@@ -1923,7 +1923,7 @@ swcand AS (
 {sw_cte("SELECT pid, name_a AS s1, name_b AS s2 FROM swcand")}
 SELECT c.id_a, c.id_b, r.sw,
        round(CAST(r.sw AS DOUBLE) /
-             ({float(SW_MATCH)!r} * least(strlen(c.name_a), strlen(c.name_b))), 6)
+             ({float(SW_MATCH)!r} * greatest(1, least(strlen(c.name_a), strlen(c.name_b)))), 6)
          AS sw_norm
 FROM swcand c JOIN sw_result r USING (pid)
 """
@@ -2148,7 +2148,7 @@ def q_er_feature_vector(spark: SparkSession, sf: str) -> DataFrame:
         "sw",
         F.round(
             F.col("sw").cast("double")
-            / (F.lit(float(SW_MATCH)) * F.col("__lmin").cast("double")),
+            / (F.lit(float(SW_MATCH)) * F.greatest(F.lit(1), F.col("__lmin")).cast("double")),
             6,
         ).alias("sw_norm"),
     )
@@ -2216,7 +2216,7 @@ SELECT c.id_a, c.id_b,
        jaro_winkler_similarity(c.name_a, c.name_b) AS jw,
        s.sw,
        round(CAST(s.sw AS DOUBLE) /
-             ({float(SW_MATCH)!r} * least(strlen(c.name_a), strlen(c.name_b))), 6)
+             ({float(SW_MATCH)!r} * greatest(1, least(strlen(c.name_a), strlen(c.name_b)))), 6)
          AS sw_norm,
        m.monge_elkan
 FROM fvcand c

@@ -16,6 +16,10 @@ DuckDB's ``levenshtein`` under the reference's bounded convention
 
 from __future__ import annotations
 
+import functools
+import os
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -23,12 +27,53 @@ from levenshtein_spark.driver_queries import tbl
 from levenshtein_spark.functions.distance import bounded_edit_dist
 from levenshtein_spark.streaming.linkage import stream_fuzzy_link
 
+# Stateful streaming queries pin their state-store partition count at START
+# time from spark.sql.shuffle.partitions, and every partition costs a state
+# store instance plus per-micro-batch delta files REGARDLESS of data volume.
+# At driver/test scale (a few MB per micro-batch) the session's 32 shuffle
+# partitions are pure fixed overhead — the stream-stream interval join alone
+# paid ~40 s in state-store churn at sf0.01 (measured r04: 61 s at 32
+# partitions vs 6 s at 8 on the identical input and output). On a real
+# cluster you size this to total executor cores via the env knob; the scoped
+# set-and-restore keeps batch queries on the session default.
+_STATE_PARTS = os.environ.get("LEVSPARK_STREAM_STATE_PARTITIONS", "8")
+
+
+@contextmanager
+def _scoped_state_partitions(spark: SparkSession, n: str = _STATE_PARTS):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _state_scoped(fn):
+    """Run a streaming query builder under the scoped state-partition count.
+
+    Safe for memory-sink queries: the sink table is fully materialized
+    before the scope exits, so the returned batch DataFrame is unaffected.
+    Per-key ordering (dropDuplicatesWithinWatermark's first-wins) is also
+    unaffected — all rows of a key land in one partition in arrival order
+    regardless of how many partitions exist.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf: str) -> DataFrame:
+        with _scoped_state_partitions(spark):
+            return fn(spark, sf)
+
+    return wrapper
+
+
 _N_REF = 40
 _PLEN = 24
 _K = 2
 _SINK = "streaming_fuzzy_link_mem"
 
 
+@_state_scoped
 def q_streaming_fuzzy_link(spark: SparkSession, sf: str) -> DataFrame:
     """Stream documents against a static reference of known near-variants,
     blocked on lang, scored on {_PLEN}-char prefixes at cap {_K}.
@@ -76,6 +121,7 @@ _INCR_SINK = "streaming_incremental_link_mem"
 _INCR_SRC = "/tmp/levenshtein_spark_incr_src"
 
 
+@_state_scoped
 def q_streaming_incremental_link(spark: SparkSession, sf: str) -> DataFrame:
     """The ``applyInPandasWithState`` custom stateful operator, driver-checked.
 
@@ -144,6 +190,7 @@ _WIN_SINK = "streaming_windowed_counts_mem"
 _WIN = "1 hour"
 
 
+@_state_scoped
 def q_streaming_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Watermarked tumbling-window aggregation — the canonical late-data
     Structured Streaming operator, driver-checked in APPEND mode (the mode
@@ -197,6 +244,7 @@ _SSJ_SINK = "streaming_stream_join_mem"
 _SSJ_RANGE_MIN = 60  # purchase within [click, click + 60 min]
 
 
+@_state_scoped
 def q_streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """Watermarked stream-stream interval join — the conversion-funnel
     staple (click joined to the same user's purchase within the next
@@ -267,6 +315,7 @@ _SESS_GAP = "30 minutes"
 _SESS_DELAY = "1 hour"
 
 
+@_state_scoped
 def q_streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
     """Watermarked SESSION-window aggregation (``F.session_window``) — the
     dynamic-gap counterpart to the tumbling window: per-user sessions close
@@ -322,6 +371,7 @@ _SDD_HASHES = 8
 _SDD_BANDS = 4
 
 
+@_state_scoped
 def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup-on-ingest: MinHash-band first-seen tracking
     (streaming/dedup.py), driver-checked.
@@ -360,6 +410,12 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     src.coalesce(1).write.mode("overwrite").parquet(_SDD_SRC)
 
     stream = spark.readStream.schema(src.schema).format("parquet").load(_SDD_SRC)
+    # The single-file source arrives as ONE input partition; without a
+    # repartition the md5 MinHash expressions run on one core (~20 s of the
+    # query's 21 s at sf0.01). stream_first_seen sorts ids within each key
+    # group, so intra-batch parallelism cannot change the output — the
+    # id-order closed form depends on batch boundaries, not row order.
+    stream = stream.repartition(int(_STATE_PARTS) * 4)
     keyed = stream.select(
         F.col("doc_id").alias("id"),
         F.explode(
@@ -537,6 +593,7 @@ ORACLES["streaming_dedup"] = _streaming_dedup_oracle()
 _HLL_SINK = "streaming_hll_mem"
 
 
+@_state_scoped
 def q_streaming_hll(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct-token sketch ON INGEST: the 64-register HyperLogLog of
     ``corpus_hll_distinct`` maintained as a streaming aggregation — register
@@ -663,6 +720,7 @@ ORACLES["streaming_hll"] = _streaming_hll_oracle()
 _CMS_SINK = "streaming_cms_mem"
 
 
+@_state_scoped
 def q_streaming_cms(spark: SparkSession, sf: str) -> DataFrame:
     """Heavy-hitter token sketch ON INGEST: the 4x512 Count-Min counters of
     ``corpus_cms_topk`` maintained as a streaming aggregation. State is the
@@ -788,6 +846,7 @@ _SLW_SINK = "streaming_sliding_counts_mem"
 _SLW_SLIDE = "30 minutes"
 
 
+@_state_scoped
 def q_streaming_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Watermarked SLIDING-window aggregation (1-hour windows every 30
     minutes) in append mode — the overlapping-window shape

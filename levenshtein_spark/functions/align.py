@@ -90,26 +90,30 @@ def batch_smith_waterman(
     """Local-alignment scores for a batch of pairs (int64 array)."""
     n = len(a_list)
     out = np.zeros(n, dtype=np.int64)
+    # Encode once; the cell budget must be sized in UTF-8 BYTES (the unit the
+    # scratch matrices are padded to), not code points — multi-byte text would
+    # otherwise blow the budget by up to 4x per side.
+    ab = [_to_bytes(v) or b"" for v in a_list]
+    bb = [_to_bytes(v) or b"" for v in b_list]
     lo = 0
     while lo < n:
         hi = lo
         max_la = max_lb = 1
         while hi < n and (hi - lo) < _SW_PAIRS_CHUNK:
-            la = max(max_la, len(a_list[hi]) if a_list[hi] else 0)
-            lb = max(max_lb, len(b_list[hi]) if b_list[hi] else 0)
+            la = max(max_la, len(ab[hi]))
+            lb = max(max_lb, len(bb[hi]))
             if (hi - lo + 1) * la * lb > _SW_CELL_BUDGET and hi > lo:
                 break
             max_la, max_lb = la, lb
             hi += 1
-        out[lo:hi] = _sw_chunk(a_list[lo:hi], b_list[lo:hi])
+        out[lo:hi] = _sw_chunk(ab[lo:hi], bb[lo:hi])
         lo = hi
     return out
 
 
-def _sw_chunk(a_list, b_list) -> np.ndarray:
-    rows = len(a_list)
-    ab = [_to_bytes(v) or b"" for v in a_list]
-    bb = [_to_bytes(v) or b"" for v in b_list]
+def _sw_chunk(ab, bb) -> np.ndarray:
+    """Score one chunk; inputs are pre-encoded byte strings."""
+    rows = len(ab)
     la = np.fromiter((len(x) for x in ab), dtype=np.int64, count=rows)
     lb = np.fromiter((len(x) for x in bb), dtype=np.int64, count=rows)
     la_max = int(la.max(initial=0))

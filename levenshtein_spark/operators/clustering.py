@@ -164,8 +164,13 @@ def dbscan_labels(all_ids: DataFrame, edges: DataFrame, min_pts: int) -> DataFra
     assignment is one edge-keyed join + min-agg. Nothing here ever touches
     payloads — the operator composes with any blocked edge family.
     """
-    sym = edges.select(F.col("src").alias("v"), F.col("dst").alias("nb")).unionByName(
-        edges.select(F.col("dst").alias("v"), F.col("src").alias("nb"))
+    # .distinct() makes deg robust to duplicate edges or an input that is
+    # already symmetrized — double-counted degrees would silently flip
+    # is_core. The extra shuffle is on the slim (v, nb) pair stream.
+    sym = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("nb"))
+        .unionByName(edges.select(F.col("dst").alias("v"), F.col("src").alias("nb")))
+        .distinct()
     )
     from levenshtein_spark.session import scoped_persist
 

@@ -252,7 +252,11 @@ def candidate_pairs_annotated(
     ids through canonicalization, so ``x_a`` always belongs to ``id_a``).
     ``predicate(df) -> Column`` is applied to each key-meeting of a pair;
     the pair survives if ANY meeting passes. Output: ``(id_a < id_b,
-    n_keys)`` where n_keys counts PASSING meetings.
+    n_passing_keys)`` — deliberately NOT named ``n_keys``: the slim
+    operator's ``n_keys`` counts ALL key-meetings, this counts only
+    PASSING ones, and under a non-trivial predicate the two carry
+    different blocking-quality signals (distinct names prevent a consumer
+    accidentally reusing one as the other).
 
     Salting is the same lossless triangle split as :func:`candidate_pairs`
     — the predicate is applied after the salted join, so hot-block behavior
@@ -312,7 +316,9 @@ def candidate_pairs_annotated(
     cols = ["id_a", "id_b"] + [f"{c}{s}" for c in extras for s in ("_a", "_b")]
     meetings = pn.select(*cols).unionByName(ph.select(*cols))
     passing = meetings.where(predicate(meetings))
-    return passing.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_keys"))
+    return passing.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_passing_keys")
+    )
 
 
 def candidate_pairs_lr_annotated(

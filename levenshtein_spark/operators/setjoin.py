@@ -137,7 +137,7 @@ def set_similarity_self_join(
     keys = allpairs_prefix_keys(slim, t_num, t_den).transform(scoped_persist)
     pairs = candidate_pairs_annotated(
         keys, ppjoin_predicate(t_num, t_den), hot_threshold, num_salts
-    ).drop("n_keys")
+    ).drop("n_passing_keys")
     fat = attach_pair_payload(pairs, slim, ["toks"])
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     uni = F.size("toks_a") + F.size("toks_b") - inter

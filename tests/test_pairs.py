@@ -149,7 +149,9 @@ def test_one_to_one_mutual_best(spark):
 
 def test_candidate_pairs_annotated_parity_and_payload(spark):
     """With an always-true predicate the annotated generator must produce
-    the identical (pair, n_keys) set as the slim one (hot + normal paths),
+    the identical (pair, key-count) set as the slim one (hot + normal
+    paths; the annotated column is named n_passing_keys since it counts
+    passing meetings only — equal to n_keys under an always-true predicate),
     and payload columns must follow their ids through canonicalization."""
     import random
 
@@ -171,7 +173,7 @@ def test_candidate_pairs_annotated_parity_and_payload(spark):
     ann = candidate_pairs_annotated(
         blocks, lambda m: F.lit(True), hot_threshold=40, num_salts=4
     ).collect()
-    assert {(r.id_a, r.id_b, r.n_keys) for r in ann} == slim
+    assert {(r.id_a, r.id_b, r.n_passing_keys) for r in ann} == slim
 
     # payload orientation: tag_x must equal id_x * 10 on every meeting — use
     # a predicate that FAILS when payloads are swapped
@@ -182,7 +184,7 @@ def test_candidate_pairs_annotated_parity_and_payload(spark):
         hot_threshold=40,
         num_salts=4,
     ).collect()
-    assert {(r.id_a, r.id_b, r.n_keys) for r in ok} == slim
+    assert {(r.id_a, r.id_b, r.n_passing_keys) for r in ok} == slim
 
 
 def test_candidate_pairs_lr_annotated_parity(spark):
