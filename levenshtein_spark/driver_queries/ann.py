@@ -249,7 +249,9 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
 
 # Product quantization: M subspaces × K codewords; dim 64 → 4 × 16-dim subs.
 # K = 16 arbitrary-deterministic codewords: planted-near-dup top-1 recall
-# 0.85 (vs 0.63 at K = 8), pinned in tests/test_ann.py. On ISOTROPIC random
+# measured 0.975 on the current fixed-seed corpus (0.85 with the r02-era
+# plant shape; 0.63 at K = 8), pinned >= 0.925 in tests/test_ann.py. On
+# ISOTROPIC random
 # vectors PQ's exact-top-k recall is inherently poor (tiny margins between
 # unrelated neighbors — the PQ literature's motivating observation that it
 # exploits correlated structure); the near-dup regime is the one this

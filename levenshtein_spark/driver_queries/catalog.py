@@ -107,7 +107,9 @@ def q_min_edit_dist(spark: SparkSession, sf: str) -> DataFrame:
     scored = cand.crossJoin(F.broadcast(probes)).select(
         "probe",
         F.col("c_name").alias("best_name"),
-        D.bounded_edit_dist("probe", "c_name", 6).alias("dist"),
+        # adaptive-cap twin: losing rows may clamp, the arg-min drops them
+        # (the reference's cross-row cap, min_edit_dist.cpp:65-72)
+        D.bounded_edit_dist_closest("probe", "c_name", 6, transpositions=False).alias("dist"),
     )
     # map-side arg-min: min(struct) is lexicographic = ORDER BY dist, name,
     # and partially aggregates in every task (no single-partition window)
@@ -122,7 +124,7 @@ def q_min_edit_dist_t(spark: SparkSession, sf: str) -> DataFrame:
     scored = cand.crossJoin(F.broadcast(probes)).select(
         "probe",
         F.col("c_name").alias("best_name"),
-        D.bounded_edit_dist_t("probe", "c_name", 6).alias("dist"),
+        D.bounded_edit_dist_closest("probe", "c_name", 6).alias("dist"),
     )
     best = scored.groupBy("probe").agg(F.min(F.struct("dist", "best_name")).alias("b"))
     return best.select("probe", F.col("b.best_name").alias("best_name"), F.col("b.dist").alias("dist"))

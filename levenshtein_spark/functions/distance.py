@@ -56,6 +56,22 @@ def _osa_sim_udf(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.Series:
     return pd.Series(batch_similarity(a.tolist(), b.tolist(), p.to_numpy()))
 
 
+@pandas_udf(LongType())
+def _osa_closest_udf(a: pd.Series, b: pd.Series, k: pd.Series) -> pd.Series:
+    from levenshtein_spark.kernel import batch_closest_distance
+
+    kv = k.fillna(-1).astype("int64").to_numpy()
+    return pd.Series(batch_closest_distance(a.tolist(), b.tolist(), k=kv, transpositions=True))
+
+
+@pandas_udf(LongType())
+def _lev_closest_udf(a: pd.Series, b: pd.Series, k: pd.Series) -> pd.Series:
+    from levenshtein_spark.kernel import batch_closest_distance
+
+    kv = k.fillna(-1).astype("int64").to_numpy()
+    return pd.Series(batch_closest_distance(a.tolist(), b.tolist(), k=kv, transpositions=False))
+
+
 def _as_k_col(k) -> Column:
     if isinstance(k, Column):
         return k.cast("long")
@@ -91,6 +107,22 @@ def bounded_edit_dist_t(a, b, k) -> Column:
     return _osa_dist_udf(F.col(a) if isinstance(a, str) else a,
                          F.col(b) if isinstance(b, str) else b,
                          _as_k_col(k))
+
+
+def bounded_edit_dist_closest(a, b, k, transpositions: bool = True) -> Column:
+    """Adaptive-cap banded distance for ARG-MIN consumers only — the
+    reference's cross-row mutable cap (src/min_edit_dist_t.cpp:141-144,310)
+    re-expressed batch-safe (see ``kernel.batch_closest_distance``): the
+    first column is the probe; per probe, rows losing to the running
+    within-batch minimum may return a clamped value strictly greater than
+    that minimum, so the per-probe arg-min, its distance, and its
+    tie-break are exactly those of ``bounded_edit_dist(_t)`` while
+    provably-worse rows skip the wide-band DP. Never project this as a
+    per-row distance column."""
+    udf = _osa_closest_udf if transpositions else _lev_closest_udf
+    return udf(F.col(a) if isinstance(a, str) else a,
+               F.col(b) if isinstance(b, str) else b,
+               _as_k_col(k))
 
 
 def similarity_t(a, b, p) -> Column:

@@ -509,6 +509,69 @@ def _dp_band_chunk(
     return result
 
 
+_ADAPTIVE_CHUNK = 1 << 12
+
+
+def batch_closest_distance(
+    a: Sequence[Union[str, bytes, None]],
+    b: Sequence[Union[str, bytes, None]],
+    k: Union[None, int, Sequence[Optional[int]], np.ndarray] = None,
+    transpositions: bool = True,
+    chunk: int = _ADAPTIVE_CHUNK,
+) -> np.ndarray:
+    """Within-batch adaptive-cap edit distance for closest-match scans.
+
+    Vectorized re-expression of the reference's cross-row mutable cap
+    (``src/min_edit_dist_t.cpp:76-83,141-144,310``: each row's distance
+    tightens the cap for every later row — ≈2/3 runtime saved,
+    doc/Benchmarks.md:25). A sequential per-row running min would defeat
+    the lockstep DP, so the batch is processed in sub-chunks: chunk ``i``
+    runs fully vectorized with per-pair cap ``min(k, best_so_far[probe])``,
+    then the per-probe running minima are folded in before chunk ``i+1``.
+
+    CONTRACT (same as the reference's own, doc/Usage.md:173-176): only the
+    rows achieving each probe's minimum are guaranteed exact. A tightened
+    cap ``c`` makes provably-worse rows return ``c + 1`` (> the probe's
+    true minimum, so the arg-min and its dist/tie-break are unchanged —
+    every row whose true distance equals the probe minimum is within every
+    cap ever applied to that probe and therefore exact). Consume ONLY
+    through an arg-min/top-1 aggregation; use ``batch_edit_distance`` when
+    each row's distance matters individually.
+    """
+    a_l = list(a)
+    b_l = list(b)
+    n = len(a_l)
+    if k is None:
+        kv = np.full(n, -1, np.int64)
+    else:
+        karr = np.asarray(k)
+        if karr.ndim == 0:
+            kv = np.full(n, int(karr), np.int64)
+        else:
+            kv = np.array(
+                [(-1 if (v is None or (isinstance(v, float) and np.isnan(v))) else int(v)) for v in karr],
+                np.int64,
+            )
+    big = np.int64(1) << 40  # "unbounded" stand-in; keff clamps to max(len)
+    kv_eff = np.where(kv < 0, big, kv)
+    out = np.empty(n, np.int64)
+    best: dict = {}
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        pa = a_l[lo:hi]
+        caps = np.minimum(
+            kv_eff[lo:hi],
+            np.fromiter((best.get(p, big) for p in pa), np.int64, hi - lo),
+        )
+        d = batch_edit_distance(pa, b_l[lo:hi], k=caps, transpositions=transpositions)
+        out[lo:hi] = d
+        for p, dv in zip(pa, d.tolist()):
+            cur = best.get(p)
+            if cur is None or dv < cur:
+                best[p] = dv
+    return out
+
+
 def batch_similarity(
     a: Sequence[Union[str, bytes, None]],
     b: Sequence[Union[str, bytes, None]],

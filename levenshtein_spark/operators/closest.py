@@ -21,7 +21,18 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from levenshtein_spark.functions.distance import bounded_edit_dist_t, similarity_t
+from levenshtein_spark.functions.distance import (
+    bounded_edit_dist,
+    bounded_edit_dist_closest,
+    bounded_edit_dist_t,
+    similarity_t,
+)
+
+# The two catalog scorers get the within-batch adaptive-cap twin when they
+# feed an arg-min (the reference's cross-row mutable cap,
+# src/min_edit_dist_t.cpp:141-144,310): losing rows may return clamped
+# values, which the groupBy-min drops. Custom dist_fns score verbatim.
+_ADAPTIVE_TWIN = {id(bounded_edit_dist_t): True, id(bounded_edit_dist): False}
 
 
 def min_edit_dist_t(
@@ -41,8 +52,14 @@ def min_edit_dist_t(
     candidate side. Pass ``dist_fn=bounded_edit_dist`` for the
     no-transpositions variant (reference ``min_edit_dist``).
     """
+    tr = _ADAPTIVE_TWIN.get(id(dist_fn))
+    dist = (
+        bounded_edit_dist_closest(probe_col, cand_col, k, transpositions=tr)
+        if tr is not None
+        else dist_fn(probe_col, cand_col, k)
+    )
     scored = candidates.crossJoin(F.broadcast(probes)).select(
-        probe_col, cand_col, dist_fn(probe_col, cand_col, k).alias("dist")
+        probe_col, cand_col, dist.alias("dist")
     )
     best = scored.groupBy(probe_col).agg(F.min(F.struct("dist", cand_col)).alias("b"))
     return best.select(

@@ -114,6 +114,95 @@ def candidate_pairs(
     )
 
 
+def candidate_pairs_collapsed(
+    blocks: DataFrame,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    num_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """:func:`candidate_pairs` with BLOCKING-CLONE COLLAPSE — the memoization
+    idea of ``scoring.score_pairs(memoize=True)`` moved up into pair
+    generation, for clone-heavy corpora (replicated docs, vendored files,
+    boilerplate): rows whose FULL block-key set is identical contribute
+    nothing new to the join — every member of such a clone group meets
+    exactly the keys its siblings meet. So:
+
+    1. group ids by an order-insensitive signature of their key set
+       (one map-side-combining groupBy over the slim exploded stream);
+    2. run the salted self-join and the (dominant) pair-dedup shuffle over
+       ONE representative per group — on a corpus with duplication factor D
+       that shuffle shrinks ~D² in meeting volume;
+    3. expand group-pairs back to id-pairs with two joins on the group
+       signature (`n_keys` of every cross pair equals its group pair's:
+       identical key sets ⇒ identical intersections), and emit intra-group
+       pairs via the same triangle-salted machinery keyed on the signature
+       (their ``n_keys`` is the group's full key count).
+
+    Output is pair-for-pair identical to :func:`candidate_pairs` — same
+    ``(id_a, id_b, n_keys)`` set (pinned by tests/test_pairs.py).
+    Precondition (met by every blocks producer in this package): the input
+    has no duplicate ``(block_key, id)`` rows.
+
+    On a clone-free corpus every group is a singleton and this degrades to
+    the plain operator plus one extra groupBy + two id-keyed joins —
+    measurable but minor; choose it when the corpus has meaningful exact
+    replication (the bench's sf1 replica corpus: ~10-20× collapse).
+    """
+    slim = blocks.select("block_key", "id")
+    from levenshtein_spark.session import scoped_persist
+
+    # per-id key-set signature + key count (order-insensitive)
+    mem = (
+        slim.groupBy("id")
+        .agg(F.sort_array(F.collect_set("block_key")).alias("__keys"))
+        .select(
+            "id",
+            F.sha2(F.concat_ws("\x1f", "__keys"), 256).alias("__sig"),
+            F.size("__keys").cast("long").alias("__gk"),
+        )
+        .transform(scoped_persist)
+    )
+    groups = mem.groupBy("__sig").agg(
+        F.min("id").alias("__rep"), F.count(F.lit(1)).alias("__gn")
+    ).transform(scoped_persist)
+
+    # representative blocks: the group's key set exactly once, labeled by sig
+    rep_blocks = (
+        slim.join(groups.select(F.col("__rep").alias("id"), "__sig"), "id")
+        .select("block_key", F.col("__sig").alias("id"))
+    )
+    group_pairs = candidate_pairs(rep_blocks, hot_threshold, num_salts)
+
+    # cross-group expansion: every member×member combination inherits the
+    # group pair's n_keys; groups are disjoint so least/greatest only fixes
+    # the arbitrary id order across groups
+    ma = mem.select(F.col("__sig").alias("id_a"), F.col("id").alias("__ra"))
+    mb = mem.select(F.col("__sig").alias("id_b"), F.col("id").alias("__rb"))
+    cross = (
+        group_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__ra", "__rb").alias("id_a"),
+            F.greatest("__ra", "__rb").alias("id_b"),
+            "n_keys",
+        )
+    )
+
+    # intra-group pairs: all C(gn, 2) per multi-member group, generated by
+    # the same lossless triangle salting (signature as the block key), each
+    # sharing the group's entire key set
+    multi = groups.where(F.col("__gn") >= 2).select("__sig")
+    intra_members = mem.join(multi, "__sig").select(
+        F.col("__sig").alias("block_key"), "id"
+    )
+    intra = (
+        candidate_pairs(intra_members, hot_threshold, num_salts)
+        .drop("n_keys")
+        .join(mem.select(F.col("id").alias("id_a"), F.col("__gk").alias("n_keys")), "id_a")
+        .select("id_a", "id_b", "n_keys")
+    )
+    return cross.unionByName(intra)
+
+
 def candidate_pairs_lr(
     blocks_l: DataFrame,
     blocks_r: DataFrame,

@@ -16,6 +16,11 @@ import pytest
 
 from levenshtein_spark.functions.vectors import banded_lsh_keys, banded_params
 
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -96,7 +101,8 @@ def test_banded_recall_planted_neighbors(spark, emb):
     found = {(row.q, row.nb) for row in cand}
     hits = sum(1 for q, src in probe_of.items() if (q, src) in found)
     recall = hits / n_plant
-    assert recall >= 0.75, f"planted near-dup recall {recall:.3f}"
+    # deterministic (fixed seed + corpus): measured 0.93; pinned within 0.05
+    assert recall >= 0.88, f"planted near-dup recall {recall:.3f}"
 
 
 def test_ivf_structure_and_planted_recall(spark, emb):
@@ -137,7 +143,8 @@ def test_ivf_structure_and_planted_recall(spark, emb):
     top1 = {r.query_id: r.neighbor_id for r in got}
     hits = sum(1 for q, src in src_of.items() if top1.get(q) == src)
     recall = hits / n_plant
-    assert recall >= 0.7, f"planted IVF top-1 recall {recall:.3f}"
+    # deterministic (fixed seed + corpus): measured 0.967; pinned within 0.05
+    assert recall >= 0.917, f"planted IVF top-1 recall {recall:.3f}"
 
 
 def test_pq_structure_and_planted_recall(spark, emb):
@@ -176,7 +183,8 @@ def test_pq_structure_and_planted_recall(spark, emb):
     top1 = {r.query_id: r.neighbor_id for r in got}
     hits = sum(1 for q, src in src_of.items() if top1.get(q) == src)
     recall = hits / n_plant
-    assert recall >= 0.6, f"planted PQ top-1 recall {recall:.3f}"
+    # deterministic (fixed seed + corpus): measured 0.975; pinned within 0.05
+    assert recall >= 0.925, f"planted PQ top-1 recall {recall:.3f}"
 
     # self-consistency: probe WITH a codeword vector -> its own ADC score
     # against itself is exact, so the top-1 of codeword 0's planted twin

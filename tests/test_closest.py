@@ -50,3 +50,51 @@ def test_top_k_matches_ranked(spark):
         by_probe.setdefault(r.q, []).append((r.rn, r.name))
     assert sorted(by_probe["appl"]) == [(1, "apple"), (2, "apples")]
     assert len(by_probe["grap"]) == 2
+
+
+def test_adaptive_kernel_argmin_exact():
+    """batch_closest_distance's contract: per-probe arg-min (value AND every
+    row achieving it) identical to the plain bounded kernel; losing rows
+    never report a value at or below the probe's true minimum. Random
+    corpus, tiny sub-chunks so the cap actually tightens mid-batch."""
+    import random
+
+    import numpy as np
+
+    from levenshtein_spark.kernel import batch_closest_distance, batch_edit_distance
+
+    rng = random.Random(7)
+    alpha = "abcdef"
+    probes = ["".join(rng.choice(alpha) for _ in range(rng.randint(3, 10))) for _ in range(5)]
+    cands = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 12))) for _ in range(400)]
+    for k in (2, 6, None):
+        a = [p for p in probes for _ in cands]
+        b = [c for _ in probes for c in cands]
+        exact = batch_edit_distance(a, b, k=k, transpositions=True)
+        adapt = batch_closest_distance(a, b, k=k, transpositions=True, chunk=37)
+        ex = np.asarray(exact).reshape(len(probes), len(cands))
+        ad = np.asarray(adapt).reshape(len(probes), len(cands))
+        for pi in range(len(probes)):
+            m = ex[pi].min()
+            assert ad[pi].min() == m
+            # every true-min row is exact; every other row stays above min
+            assert (ad[pi][ex[pi] == m] == m).all()
+            assert (ad[pi][ex[pi] != m] > m).all()
+
+
+def test_adaptive_matches_plain_in_operator(spark):
+    """min_edit_dist_t (adaptive scoring path) returns the identical result
+    to a verbatim-scoring run via a custom dist_fn."""
+    from levenshtein_spark.functions.distance import bounded_edit_dist_t
+
+    probes, cands = _fixtures(spark)
+
+    def verbatim(a, b, k):  # not in _ADAPTIVE_TWIN -> scores every row fully
+        return bounded_edit_dist_t(a, b, k)
+
+    fast = {tuple(r) for r in min_edit_dist_t(probes, cands, "q", "name", 6).collect()}
+    slow = {
+        tuple(r)
+        for r in min_edit_dist_t(probes, cands, "q", "name", 6, dist_fn=verbatim).collect()
+    }
+    assert fast == slow

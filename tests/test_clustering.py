@@ -6,6 +6,11 @@ import pytest
 from levenshtein_spark.operators.clustering import cluster_labels, connected_components
 
 
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
+
 class DSU:
     def __init__(self):
         self.p = {}

@@ -3,9 +3,16 @@
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from levenshtein_spark.plans.curation import CurationConfig, run_curation
+
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
 
 GOOD = (
     "the data engine reads the table and joins the rows with the index "

@@ -3,11 +3,18 @@ with the identical defined semantics (min-label border assignment)."""
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 import random
 
 from levenshtein_spark.operators.clustering import dbscan_labels
 
+
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
 
 def _brute(ids, edges, min_pts):
     nbrs = {i: set() for i in ids}

@@ -4,9 +4,16 @@ deployment actually runs."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import sys
 
+
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
 
 def _run_job(monkeypatch, capsys, module, argv):
     monkeypatch.setattr(sys, "argv", argv)

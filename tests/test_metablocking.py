@@ -20,6 +20,11 @@ from levenshtein_spark.operators.metablocking import (
 from levenshtein_spark.operators.pairs import candidate_pairs
 
 
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def blocks(spark):
     # 12 records over 5 blocks with deliberate overlap: records 0-3 share

@@ -216,3 +216,43 @@ def test_candidate_pairs_lr_annotated_parity(spark):
         num_salts=3,
     ).collect()
     assert {(x.id_l, x.id_r) for x in ann} == slim
+
+
+def test_candidate_pairs_collapsed_parity(spark):
+    """candidate_pairs_collapsed must produce the identical (pair, n_keys)
+    set as candidate_pairs on a corpus with planted blocking clones (deep
+    clone groups, hot + normal blocks, singleton groups mixed in)."""
+    import random
+
+    from levenshtein_spark.operators.pairs import (
+        candidate_pairs,
+        candidate_pairs_collapsed,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    next_id = 0
+    # 12 clone groups of sizes 1..8: every member carries the same key set
+    for g in range(12):
+        keys = {f"k{rng.randint(0, 9)}" for _ in range(rng.randint(1, 4))}
+        for _ in range(rng.randint(1, 8)):
+            rid = f"id{next_id:04d}"
+            next_id += 1
+            rows += [(k, rid) for k in keys]
+    # a hot pile sharing one key (all singleton groups w.r.t. full key set)
+    for i in range(80):
+        rid = f"hot{i:04d}"
+        rows.append(("k0", rid))
+        if i % 3 == 0:
+            rows.append((f"k{1 + i % 5}", rid))
+    blocks = spark.createDataFrame(rows, "block_key string, id string")
+
+    plain = {
+        (r.id_a, r.id_b, r.n_keys)
+        for r in candidate_pairs(blocks, hot_threshold=30, num_salts=4).collect()
+    }
+    collapsed = {
+        (r.id_a, r.id_b, r.n_keys)
+        for r in candidate_pairs_collapsed(blocks, hot_threshold=30, num_salts=4).collect()
+    }
+    assert collapsed == plain

@@ -15,6 +15,11 @@ from levenshtein_spark.oracle import ref_edit_distance
 from levenshtein_spark.plans.linkage import LinkageConfig, run_linkage
 from levenshtein_spark.sources.code_files import code_files_df
 
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
+
 K_CONTENT = 8
 
 

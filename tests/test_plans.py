@@ -12,6 +12,11 @@ from __future__ import annotations
 
 import pytest
 
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 # streaming_fuzzy_link EXECUTES a streaming query inside the callable; plans

@@ -22,6 +22,11 @@ from levenshtein_spark.operators.normalize import normalize
 from levenshtein_spark.operators.pairs import attach_pair_payload, candidate_pairs
 from levenshtein_spark.operators.scoring import score_pairs
 
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 PAYLOAD = ["sha", "content_prefix", "path_base"]
 

@@ -12,6 +12,11 @@ import pytest
 from levenshtein_spark.operators.setjoin import set_similarity_self_join
 
 
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
+
 def _brute(rows, t_num, t_den):
     """Expected (id_a, id_b, inter, uni) via Python set math."""
     sets = {i: set(toks) for i, toks in rows if toks}

@@ -15,6 +15,11 @@ from levenshtein_spark.oracle import ref_similarity
 from tests.gen import apply_edits, random_word
 
 
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
+
 def test_log_bands_cover_every_ratio_bounded_pair():
     """Arithmetic property behind losslessness: any (la, lb) with
     min >= p*max shares >= 1 of the exploded (band, band+1) keys."""

@@ -9,6 +9,8 @@ partition and bucket boundaries.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import random
 
@@ -18,6 +20,11 @@ from pyspark.sql import Window
 from levenshtein_spark.operators.scoring import fellegi_sunter_weight, fs_classify
 from levenshtein_spark.operators.snm import global_rank, sorted_neighborhood_pairs
 
+
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
 
 def _names(n, seed):
     rng = random.Random(seed)

@@ -8,6 +8,11 @@ import pytest
 from levenshtein_spark.streaming import stream_exact_dedup, stream_fuzzy_link
 
 
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
+
 @pytest.fixture
 def stream_dir(spark, tmp_path):
     rows = [

@@ -5,7 +5,14 @@ keying + DuckDB twin is the driver query's job (streaming_dedup)."""
 
 from __future__ import annotations
 
+import pytest
+
 from levenshtein_spark.streaming.dedup import stream_first_seen
+
+
+# Heavy module (multi-second Spark jobs / hypothesis sweeps): excluded
+# from the fast gate `pytest -m "not slow"` (README: Testing).
+pytestmark = pytest.mark.slow
 
 _SCHEMA = "block_key string, id long"
 
