@@ -137,7 +137,9 @@ def q_min_similarity_t(spark: SparkSession, sf: str) -> DataFrame:
     scored = cand.crossJoin(F.broadcast(probes)).select(
         "probe",
         F.col("c_name").alias("best_name"),
-        F.round(D.similarity_t("probe", "c_name", 0.5), 6).alias("sim"),
+        # adaptive-floor twin (min_similarity_t's mutable max_result):
+        # exact for the arg-max winner + ties, which is all that survives
+        F.round(D.similarity_t_closest("probe", "c_name", 0.5), 6).alias("sim"),
     )
     # arg-max on (sim DESC, name ASC) = arg-min on (-sim, name)
     best = scored.groupBy("probe").agg(

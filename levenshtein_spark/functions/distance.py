@@ -56,6 +56,13 @@ def _osa_sim_udf(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.Series:
     return pd.Series(batch_similarity(a.tolist(), b.tolist(), p.to_numpy()))
 
 
+@pandas_udf(DoubleType())
+def _osa_sim_closest_udf(a: pd.Series, b: pd.Series, p: pd.Series) -> pd.Series:
+    from levenshtein_spark.kernel import batch_closest_similarity
+
+    return pd.Series(batch_closest_similarity(a.tolist(), b.tolist(), p.to_numpy()))
+
+
 @pandas_udf(LongType())
 def _osa_closest_udf(a: pd.Series, b: pd.Series, k: pd.Series) -> pd.Series:
     from levenshtein_spark.kernel import batch_closest_distance
@@ -139,6 +146,23 @@ def similarity_t(a, b, p) -> Column:
     return _osa_sim_udf(F.col(a) if isinstance(a, str) else a,
                         F.col(b) if isinstance(b, str) else b,
                         p.cast("double"))
+
+
+def similarity_t_closest(a, b, p) -> Column:
+    """Adaptive-floor OSA similarity for ARG-MAX consumers only — the
+    reference ``min_similarity_t``'s mutable ``max_result``
+    (src/min_similarity_t.cpp) re-expressed batch-safe (see
+    ``kernel.batch_closest_similarity``): per probe, the arg-max winner
+    and its ties score exactly as ``similarity_t``; provably-worse rows
+    may report tightened floors. Never project as a per-row column."""
+    if not isinstance(p, Column):
+        p = float(p)
+        if not (0.0 <= p <= 1.0):
+            raise ValueError("similarity must be in the interval [0.0, 1.0]")
+        p = F.lit(p)
+    return _osa_sim_closest_udf(F.col(a) if isinstance(a, str) else a,
+                                F.col(b) if isinstance(b, str) else b,
+                                p.cast("double"))
 
 
 def edit_dist_t_2d(a, b) -> Column:

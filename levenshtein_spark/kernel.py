@@ -572,6 +572,76 @@ def batch_closest_distance(
     return out
 
 
+def batch_closest_similarity(
+    a: Sequence[Union[str, bytes, None]],
+    b: Sequence[Union[str, bytes, None]],
+    p: Union[float, Sequence[float], np.ndarray],
+    chunk: int = _ADAPTIVE_CHUNK,
+) -> np.ndarray:
+    """Within-batch adaptive-floor similarity for most-similar scans — the
+    similarity twin of :func:`batch_closest_distance` (reference
+    ``min_similarity_t``'s mutable ``max_result``,
+    ``src/min_similarity_t.cpp`` / ``similarity_t.cpp:284-290``): each
+    chunk's per-probe best TRUE similarity raises the effective threshold
+    ``p' = max(p, best[probe])`` for later chunks, which shrinks the
+    derived cap ``k' = int((1-p')*m)``.
+
+    Soundness: every reported value is either the pair's PLAIN
+    ``batch_similarity`` value (rows within the tightened cap — this
+    includes each probe's true maximum and all its ties, since a winner's
+    distance ``(1-sim)·m ≤ (1-best)·m`` always fits the cap, float-guarded
+    by a +1 band margin) or the ORIGINAL ``p``'s floor
+    ``max(0, 1-(k_p+1)/m) < p`` (rows the tightened cap rejected — all
+    provably below the probe's running best). A tightened cap's own
+    ``1-(k'+1)/m`` clamp value is deliberately NEVER reported: float
+    truncation in ``int((1-best)·m)`` can land that value exactly ON the
+    running best, manufacturing a spurious arg-max tie (caught by
+    tests/test_closest.py). Consume ONLY through an arg-max/top-1
+    aggregation (same contract as the distance twin).
+    """
+    a_l = list(a)
+    b_l = list(b)
+    n = len(a_l)
+    parr = np.asarray(p, np.float64)
+    if parr.ndim == 0:
+        parr = np.full(n, float(parr), np.float64)
+    if ((parr < 0.0) | (parr > 1.0)).any():
+        raise ValueError("similarity must be in the interval [0.0, 1.0]")
+    la = np.fromiter(
+        (0 if x is None else len(x) for x in (_to_bytes(v) for v in a_l)), np.int64, n
+    )
+    lb = np.fromiter(
+        (0 if x is None else len(x) for x in (_to_bytes(v) for v in b_l)), np.int64, n
+    )
+    m = np.maximum(la, lb).astype(np.float64)
+    k_p = ((1.0 - parr) * m).astype(np.int64)  # reference cap formula
+    with np.errstate(divide="ignore", invalid="ignore"):
+        floor_p = np.maximum(0.0, 1.0 - (k_p + 1.0) / m)
+    out = np.empty(n, np.float64)
+    best: dict = {}
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        pa = a_l[lo:hi]
+        bestv = np.fromiter((best.get(x, 0.0) for x in pa), np.float64, hi - lo)
+        # +1 margin: a winner's d = (1-sim)*m with sim >= best always fits
+        k_best = np.floor((1.0 - bestv) * m[lo:hi]).astype(np.int64) + 1
+        k_eff = np.minimum(k_p[lo:hi], k_best)
+        d = batch_edit_distance(pa, b_l[lo:hi], k=k_eff, transpositions=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            result = np.maximum(0.0, 1.0 - np.minimum(d, k_p[lo:hi] + 1) / m[lo:hi])
+        rep = np.where(
+            d <= k_eff,
+            np.maximum(result, floor_p[lo:hi]),  # the plain kernel's value
+            floor_p[lo:hi],  # rejected: report the original-p floor
+        )
+        rep[m[lo:hi] == 0] = 1.0
+        out[lo:hi] = rep
+        for x, sv in zip(pa, rep.tolist()):
+            if sv > best.get(x, -1.0):
+                best[x] = sv
+    return out
+
+
 def batch_similarity(
     a: Sequence[Union[str, bytes, None]],
     b: Sequence[Union[str, bytes, None]],

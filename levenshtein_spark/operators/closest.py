@@ -26,6 +26,7 @@ from levenshtein_spark.functions.distance import (
     bounded_edit_dist_closest,
     bounded_edit_dist_t,
     similarity_t,
+    similarity_t_closest,
 )
 
 # The two catalog scorers get the within-batch adaptive-cap twin when they
@@ -76,9 +77,11 @@ def min_similarity_t(
 ) -> DataFrame:
     """For each probe row, the most similar candidate (reference
     ``min_similarity_t``): max similarity, ties on candidate ascending —
-    arg-max via min(struct(-sim, candidate))."""
+    arg-max via min(struct(-sim, candidate)). Scores through the
+    adaptive-floor twin (the reference's mutable ``max_result``) — exact
+    for the arg-max winner and its ties, which is all this returns."""
     scored = candidates.crossJoin(F.broadcast(probes)).select(
-        probe_col, cand_col, similarity_t(probe_col, cand_col, p).alias("sim")
+        probe_col, cand_col, similarity_t_closest(probe_col, cand_col, p).alias("sim")
     )
     best = scored.groupBy(probe_col).agg(
         F.min(F.struct((-F.col("sim")).alias("neg"), cand_col)).alias("b")

@@ -98,3 +98,36 @@ def test_adaptive_matches_plain_in_operator(spark):
         for r in min_edit_dist_t(probes, cands, "q", "name", 6, dist_fn=verbatim).collect()
     }
     assert fast == slow
+
+
+def test_adaptive_similarity_argmax_exact():
+    """batch_closest_similarity: per-probe arg-max (value AND ties) equals
+    the plain kernel; losing rows never report a value at or above the
+    probe's true max; with no candidate reaching p the outputs are
+    bit-identical to the plain kernel."""
+    import random
+
+    import numpy as np
+
+    from levenshtein_spark.kernel import batch_closest_similarity, batch_similarity
+
+    rng = random.Random(19)
+    alpha = "abcde"
+    probes = ["".join(rng.choice(alpha) for _ in range(rng.randint(3, 9))) for _ in range(4)]
+    cands = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 11))) for _ in range(300)]
+    a = [p for p in probes for _ in cands]
+    b = [c for _ in probes for c in cands]
+    for p in (0.3, 0.6, 0.95):
+        exact = np.asarray(batch_similarity(a, b, p)).reshape(len(probes), len(cands))
+        adapt = np.asarray(
+            batch_closest_similarity(a, b, p, chunk=41)
+        ).reshape(len(probes), len(cands))
+        for pi in range(len(probes)):
+            m = exact[pi].max()
+            assert adapt[pi].max() == m
+            assert (adapt[pi][exact[pi] == m] == m).all()
+            assert (adapt[pi][exact[pi] != m] < m).all()
+    # p high enough that nothing matches: outputs identical to plain
+    exact = batch_similarity(a, b, 0.999)
+    adapt = batch_closest_similarity(a, b, 0.999, chunk=41)
+    assert (np.asarray(exact) == np.asarray(adapt)).all()
