@@ -63,3 +63,51 @@ def test_funnel_zero_base_yields_null_conversion(spark, tmp_path):
     assert got[1].n_users == 0
     assert got[1].conversion is None
     assert got[2].conversion is None
+
+
+def test_sw_norm_empty_name_no_nan(spark):
+    """ADVICE r03 #2: sw_norm's denominator is clamped greatest(1, lmin) —
+    an empty name on either side must yield a finite 0.0, not NaN/Inf
+    (and DuckDB would diverge from Spark on the unguarded divide)."""
+    import math
+
+    from levenshtein_spark.functions.align import SW_MATCH
+    from levenshtein_spark.functions.distance import jaro_winkler  # noqa: F401
+    from levenshtein_spark.functions.align import smith_waterman
+
+    rows = [(1, "", "Customer#1"), (2, "Customer#1", ""), (3, "", "")]
+    df = spark.createDataFrame(rows, "pid long, name_a string, name_b string")
+    scored = df.select(
+        "pid",
+        F.least(F.octet_length("name_a"), F.octet_length("name_b")).alias("__lmin"),
+        smith_waterman("name_a", "name_b").alias("sw"),
+    ).select(
+        "pid",
+        F.round(
+            F.col("sw").cast("double")
+            / (F.lit(float(SW_MATCH)) * F.greatest(F.lit(1), F.col("__lmin")).cast("double")),
+            6,
+        ).alias("sw_norm"),
+    )
+    for r in scored.collect():
+        assert r.sw_norm is not None and math.isfinite(r.sw_norm)
+        assert r.sw_norm == 0.0
+
+
+def test_dbscan_duplicate_edges_do_not_flip_core(spark):
+    """ADVICE r03 #3: dbscan_labels distincts the symmetrized edge stream,
+    so duplicated (or pre-symmetrized) input edges cannot double-count
+    degree and flip is_core. min_pts=3: a point with ONE distinct
+    neighbor (deg 1, |N_eps| = 2) is not core no matter how many times
+    the edge is repeated."""
+    from levenshtein_spark.operators.clustering import dbscan_labels
+
+    ids = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b")] * 4 + [("b", "a")] * 3,  # one undirected edge, spammed
+        "src string, dst string",
+    )
+    got = {r.id: (r.deg, r.is_core) for r in dbscan_labels(ids, edges, min_pts=3).collect()}
+    assert got["a"] == (1, False)
+    assert got["b"] == (1, False)
+    assert got["c"] == (0, False)
