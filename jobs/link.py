@@ -42,6 +42,13 @@ def main() -> int:
     ap.add_argument("--num-salts", type=int, default=16)
     ap.add_argument("--adaptive-target-rows", type=int, default=None,
                     help="per-block salt sizing: S_b = ceil(block_size / target)")
+    ap.add_argument("--memoize-scoring", action="store_true",
+                    help="score one representative per distinct payload tuple "
+                         "(clone-heavy corpora; BENCH/memoize_regimes.json)")
+    ap.add_argument("--collapse-clones", action="store_true",
+                    help="collapse identical-key-set rows through the pair "
+                         "join (exact re-ingestion corpora; "
+                         "BENCH/collapsed_clones.json)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--incremental-batch", default=None, metavar="BATCH_ID",
@@ -80,6 +87,8 @@ def main() -> int:
         hot_threshold=args.hot_threshold,
         num_salts=args.num_salts,
         adaptive_target_rows=args.adaptive_target_rows,
+        memoize_scoring=args.memoize_scoring,
+        collapse_clones=args.collapse_clones,
         force=args.force,
     )
     t0 = time.perf_counter()
