@@ -37,6 +37,12 @@ def _expected(d_full: np.ndarray, a: list, b: list, k: int) -> np.ndarray:
     return out
 
 
+# nightly implies slow: a bare ``-m "not slow"`` overrides the addopts
+# ``-m "not nightly"`` marker expression, so without this the fast gate
+# would accidentally re-enable the ~2-minute fuzzers.
+pytestmark = pytest.mark.slow
+
+
 @pytest.mark.nightly
 @pytest.mark.parametrize("kind", EDIT_TYPES)
 def test_reference_scale_differential(kind):

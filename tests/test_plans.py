@@ -90,8 +90,11 @@ def test_rewritten_queries_join_on_block_key(spark):
 
     for fn in (q_dedup_simhash_pairs, q_dedup_ngram_jaccard, q_similar_names_by_nation):
         opt = fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
-        keys = [m.group(1) for m in re.finditer(r"Join Inner, \(([^)]*)\)", opt)]
-        assert any("block_key" in k for k in keys), fn.__name__
+        # full join condition = rest of the line (conjunct ORDER inside the
+        # condition is optimizer-version/plan-shape dependent; matching up
+        # to the first ')' broke when a persist reordered the conjuncts)
+        keys = [m.group(1) for m in re.finditer(r"Join Inner, (.*)", opt)]
+        assert any(re.search(r"block_key#\d+ = block_key#\d+", k) for k in keys), fn.__name__
         assert not any("c_nationkey#" in k and "= c_nationkey#" in k for k in keys), fn.__name__
 
 
