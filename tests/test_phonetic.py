@@ -63,3 +63,49 @@ def test_hw_transparency_pinned():
     """The variant-defining vector: H/W-separated equal codes collapse."""
     d = duck_soundex(["Ashcraft", "Ashcroft"])
     assert d["Ashcraft"] == d["Ashcroft"] == "A261"
+
+
+def test_phonetic_pairs_query(spark):
+    """driver_queries.phonetic: blocked pairs agree with a reference
+    recomputation (within-code pairs only, id_a < id_b distinct, dist is the
+    capped kernel distance)."""
+    from levenshtein_spark.driver_queries.phonetic import q_phonetic_pairs
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_phonetic_pairs(spark, sf).collect()
+    parts = {
+        r["id"]: r["tok"]
+        for r in spark.read.parquet(f"{sf}/part.parquet")
+        .selectExpr("p_partkey AS id", "split_part(p_name, ' ', 1) AS tok")
+        .collect()
+    }
+    code = spark_soundex(spark, sorted(set(parts.values())))
+    expect = {}
+    ids = sorted(parts)
+    by_code = {}
+    for i in ids:
+        by_code.setdefault(code[parts[i]], []).append(i)
+    for members in by_code.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                expect[(members[x], members[y])] = None
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in rows}
+    assert len(got) == len(rows), "duplicate pairs emitted"
+    assert set(got) == set(expect)
+    # spot-verify the capped-distance convention on a sample
+    import itertools
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    for (ia, ib), d in itertools.islice(sorted(got.items()), 200):
+        ta, tb = parts[ia], parts[ib]
+        k_eff = min(3, max(len(ta), len(tb)))
+        assert d == min(lev(ta, tb), k_eff + 1), (ta, tb, d)
