@@ -21,6 +21,7 @@ def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict
         dedup,
         er_eval,
         linkage,
+        lm,
         multimodal,
         phonetic,
         relational,
@@ -32,7 +33,7 @@ def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict
     oracles: dict = {}
     for mod in (
         catalog, linkage, dedup, text, ann, relational, multimodal, streaming, er_eval, curation,
-        phonetic,  # appended last: keeps the banked registry order of the first 139 intact
+        phonetic, lm,  # appended last: keeps the banked registry order of the first 139 intact
     ):
         overlap = queries.keys() & mod.QUERIES.keys()
         if overlap:
