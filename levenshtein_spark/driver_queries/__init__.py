@@ -19,6 +19,7 @@ def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict
         catalog,
         curation,
         dedup,
+        er_curve,
         er_eval,
         linkage,
         lm,
@@ -33,7 +34,7 @@ def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict
     oracles: dict = {}
     for mod in (
         catalog, linkage, dedup, text, ann, relational, multimodal, streaming, er_eval, curation,
-        phonetic, lm,  # appended last: keeps the banked registry order of the first 139 intact
+        phonetic, lm, er_curve,  # appended last: keeps the banked registry order of the first 139 intact
     ):
         overlap = queries.keys() & mod.QUERIES.keys()
         if overlap:
