@@ -20,6 +20,7 @@ def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict
         curation,
         dedup,
         er_curve,
+        er_clustering,
         er_eval,
         linkage,
         lm,
@@ -34,7 +35,7 @@ def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict
     oracles: dict = {}
     for mod in (
         catalog, linkage, dedup, text, ann, relational, multimodal, streaming, er_eval, curation,
-        phonetic, lm, er_curve,  # appended last: keeps the banked registry order of the first 139 intact
+        phonetic, lm, er_curve, er_clustering,  # appended last: keeps the banked registry order of the first 139 intact
     ):
         overlap = queries.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,496 @@
+"""Match-graph clustering algorithms beyond the transitive closure.
+
+The linkage pipeline ships connected components — the highest-recall
+clustering of the match graph and the one the BASELINE's north rule names —
+but the ER literature's standard finding (Hassanzadeh/Chiang/Lee/Miller,
+VLDB 2009, "Framework for evaluating clustering algorithms in duplicate
+detection") is that closure over-merges through single spurious bridge
+edges, and the practical menu is a spectrum of graph clusterings traded
+off by precision/recall. This module exposes the distributable end of that
+menu over the SAME predictor graph the cluster-metric queries evaluate
+(single-pass SNM candidates scored with the exact edge rule — genuinely
+lossy, non-trivial structure):
+
+* ``cluster_star``         — one-round parallel star clustering (Aslam/
+  Pelekhov/Rus, JGAA 2004): local degree-dominant nodes become centers,
+  everyone else attaches to their dominant-most center neighbor.
+* ``cluster_merge_center`` — MERGE-CENTER (Hassanzadeh & Miller, VLDBJ
+  2009): star centers merged when adjacent or sharing a common neighbor —
+  the middle ground between star and closure.
+* ``cluster_pivot``        — KwikCluster correlation clustering (Ailon/
+  Charikar/Newman, JACM 2008) via deterministic parallel MIS rounds
+  (Chierichetti/Dalvi/Kumar, KDD'14): every cluster is a radius-1 star
+  around a pivot, so a spurious edge merges one record, never two
+  clusters. Expected 3-approximation of correlation-clustering
+  disagreements.
+* ``cluster_quality``      — the information-theoretic scorecard of the
+  closure labels vs gold: adjusted Rand index, NMI, variation of
+  information, homogeneity/completeness/V-measure — the partition-level
+  complements of the pairwise-F1 and B-cubed rows.
+* ``cluster_algo_compare`` — one row per algorithm (cc / star /
+  merge_center / pivot): cluster-shape stats plus co-membership pairwise
+  PRF vs the gold closure — the algorithm-selection table the VLDB'09
+  framework tabulates.
+
+Every algorithm is deterministic (total orders everywhere: degree with
+min-id tie-break; md5-of-id pivot keys), so the DuckDB twins replay the
+identical semantics and the driver's hash check is exact.
+
+Cross-engine exactness: cluster labels and counts are integers; the
+quality metrics' floating terms are computed with the same per-cell
+expression in both engines and rounded to 6 decimals (the log-term sums
+differ across engines only at ~1e-13, far below the rounding granularity;
+integer-derived doubles stay exact below 2^53).
+
+Reference tie-in: the reference stops at pairwise distances
+(doc/Usage.md:101-189); these operators are the entity-formation layer a
+corpus-scale deployment of its kernels needs, built on the same verified
+edge streams.
+
+Scale shape: star is two joins + two aggregations on the slim symmetric
+edge stream; merge-center adds a closure over the (much smaller) center
+graph; pivot is O(log n) MIS rounds of groupBy-min + anti-join with the
+same lineage truncation as the closure loop; the metrics are
+contingency-table aggregations no wider than the record count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from levenshtein_spark.driver_queries import tbl
+from levenshtein_spark.driver_queries.er_eval import (
+    _GOLD_EDGES_SQL,
+    _SNM_PAIRS,
+    _gold_edges,
+    _intra_cluster_pairs,
+    _pair_prf,
+    _snm_pred_edges,
+)
+from levenshtein_spark.operators.clustering import (
+    cluster_labels,
+    merge_center_labels,
+    pivot_labels,
+    star_labels,
+)
+from levenshtein_spark.session import scoped_persist
+
+
+def _ids(spark: SparkSession, sf: str) -> DataFrame:
+    return tbl(spark, sf, "customer").select(F.col("c_custkey").cast("long").alias("id"))
+
+
+def q_cluster_star(spark: SparkSession, sf: str) -> DataFrame:
+    return star_labels(_ids(spark, sf), _snm_pred_edges(spark, sf))
+
+
+def q_cluster_merge_center(spark: SparkSession, sf: str) -> DataFrame:
+    return merge_center_labels(_ids(spark, sf), _snm_pred_edges(spark, sf))
+
+
+def q_cluster_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    return pivot_labels(_ids(spark, sf), _snm_pred_edges(spark, sf))
+
+
+def _labels_pred_gold(spark: SparkSession, sf: str) -> DataFrame:
+    ids = _ids(spark, sf)
+    pred = cluster_labels(ids, _snm_pred_edges(spark, sf)).select(
+        "id", F.col("cluster_id").alias("p")
+    )
+    gold = cluster_labels(ids, _gold_edges(spark, sf)).select(
+        "id", F.col("cluster_id").alias("g")
+    )
+    return pred.join(gold, "id")
+
+
+def q_cluster_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-level agreement of the SNM-closure labels vs the gold
+    closure. Every metric comes off the (pred, gold) contingency table:
+
+    * ARI — pair-counting agreement corrected for chance (Hubert & Arabie
+      1985); integer C(n,2) sums, one final ratio.
+    * NMI — mutual information over sqrt(H_p * H_g) (Strehl & Ghosh 2002).
+    * VI  — variation of information H_p + H_g - 2*MI (Meilă 2007), the
+      metric (true distance) the clustering-comparison literature prefers.
+    * homogeneity / completeness / V-measure (Rosenberg & Hirschberg 2007)
+      = MI/H_g, MI/H_p and their harmonic mean.
+
+    Degenerate-partition guards (identical in both engines): zero ARI
+    denominator → 1.0 (both partitions trivially identical); an entropy of
+    zero → NMI/homogeneity/completeness fall back to the sklearn
+    conventions (1.0 when both entropies vanish, else 0.0 via the MI=0
+    numerator; V-measure 0.0 when h + c = 0).
+    """
+    t = _labels_pred_gold(spark, sf).transform(scoped_persist)
+    cells = t.groupBy("p", "g").agg(F.count(F.lit(1)).alias("n_pg"))
+    psz = t.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
+    gsz = t.groupBy("g").agg(F.count(F.lit(1)).alias("ng"))
+    n_row = t.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    nd = F.col("n").cast("double")
+    pairs = lambda c: F.col(c).cast("double") * (F.col(c).cast("double") - F.lit(1.0)) / F.lit(2.0)
+    # per-cell MI term: (n_pg/n) * ln(n_pg*n / (np*ng)) — identical text in SQL
+    mi_term = (F.col("n_pg").cast("double") / nd) * F.log(
+        F.col("n_pg").cast("double") * nd / (F.col("np").cast("double") * F.col("ng").cast("double"))
+    )
+    ent = lambda c: (F.col(c).cast("double") / nd) * F.log(F.col(c).cast("double") / nd)
+
+    cell_agg = (
+        cells.join(psz, "p").join(gsz, "g").crossJoin(F.broadcast(n_row))
+        .agg(F.sum(pairs("n_pg")).alias("sum_pairs"), F.sum(mi_term).alias("mi"))
+    )
+    p_agg = psz.crossJoin(F.broadcast(n_row)).agg(
+        F.sum(pairs("np")).alias("sum_a"),
+        (-F.sum(ent("np"))).alias("hp"),
+        F.count(F.lit(1)).cast("long").alias("n_pred_clusters"),
+    )
+    g_agg = gsz.crossJoin(F.broadcast(n_row)).agg(
+        F.sum(pairs("ng")).alias("sum_b"),
+        (-F.sum(ent("ng"))).alias("hg"),
+        F.count(F.lit(1)).cast("long").alias("n_gold_clusters"),
+    )
+    m = cell_agg.crossJoin(p_agg).crossJoin(g_agg).crossJoin(n_row)
+    npairs = nd * (nd - F.lit(1.0)) / F.lit(2.0)
+    exp = F.col("sum_a") * F.col("sum_b") / npairs
+    ari_den = F.lit(0.5) * (F.col("sum_a") + F.col("sum_b")) - exp
+    ari = F.when(ari_den == 0.0, F.lit(1.0)).otherwise((F.col("sum_pairs") - exp) / ari_den)
+    hp, hg, mi = F.col("hp"), F.col("hg"), F.col("mi")
+    nmi = (
+        F.when((hp == 0.0) & (hg == 0.0), F.lit(1.0))
+        .when((hp == 0.0) | (hg == 0.0), F.lit(0.0))
+        .otherwise(mi / F.sqrt(hp * hg))
+    )
+    hom = F.when(hg == 0.0, F.lit(1.0)).otherwise(mi / hg)
+    com = F.when(hp == 0.0, F.lit(1.0)).otherwise(mi / hp)
+    v = F.when(hom + com == 0.0, F.lit(0.0)).otherwise(F.lit(2.0) * hom * com / (hom + com))
+    return m.select(
+        F.col("n").alias("n_records"),
+        "n_pred_clusters",
+        "n_gold_clusters",
+        F.round(ari, 6).alias("ari"),
+        F.round(nmi, 6).alias("nmi"),
+        F.round(hp + hg - F.lit(2.0) * mi, 6).alias("vi"),
+        F.round(hom, 6).alias("homogeneity"),
+        F.round(com, 6).alias("completeness"),
+        F.round(v, 6).alias("v_measure"),
+    )
+
+
+def q_cluster_algo_compare(spark: SparkSession, sf: str) -> DataFrame:
+    """The algorithm-selection table: one row per clustering of the SNM
+    predictor graph (closure / star / merge-center / pivot), with cluster-
+    shape stats and co-membership pairwise PRF vs the gold closure. Reading
+    it: cc has the fewest clusters (highest recall / lowest precision);
+    pivot and star fragment hardest; merge-center sits between — the
+    precision/recall spectrum the VLDB'09 evaluation framework tabulates,
+    as one driver-checked row set."""
+    ids = _ids(spark, sf).transform(scoped_persist)
+    edges = _snm_pred_edges(spark, sf).transform(scoped_persist)
+    gold_pairs = _intra_cluster_pairs(
+        cluster_labels(ids, _gold_edges(spark, sf))
+    ).transform(scoped_persist)
+
+    algos = {
+        "cc": cluster_labels(ids, edges),
+        "star": star_labels(ids, edges).select("id", "cluster_id"),
+        "merge_center": merge_center_labels(ids, edges),
+        "pivot": pivot_labels(ids, edges),
+    }
+    rows = []
+    for name, labels in algos.items():
+        labels = labels.transform(scoped_persist)
+        sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+        stats = sizes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.when(F.col("sz") == 1, 1).otherwise(0)).cast("long").alias("n_singletons"),
+            F.max("sz").cast("long").alias("max_size"),
+        )
+        prf = _pair_prf(_intra_cluster_pairs(labels), gold_pairs)
+        rows.append(
+            stats.crossJoin(prf).select(F.lit(name).alias("algo"), "*")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+QUERIES = {
+    "cluster_star": q_cluster_star,
+    "cluster_merge_center": q_cluster_merge_center,
+    "cluster_pivot": q_cluster_pivot,
+    "cluster_quality": q_cluster_quality,
+    "cluster_algo_compare": q_cluster_algo_compare,
+}
+
+
+# -- DuckDB twins -------------------------------------------------------------
+# Shared graph CTEs: the SNM predictor edges (same text as the er_eval
+# twins), the distinct symmetric neighbor stream, and the id universe.
+_GRAPH_CTES = f"""
+snm_cand AS (
+  SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b FROM ({_SNM_PAIRS})
+),
+pred_edges AS (
+  SELECT CAST(c.id_a AS BIGINT) AS src, CAST(c.id_b AS BIGINT) AS dst
+  FROM snm_cand c
+  JOIN customer x ON x.c_custkey = c.id_a
+  JOIN customer y ON y.c_custkey = c.id_b
+  WHERE x.c_nationkey = y.c_nationkey
+    AND (x.c_name = y.c_name OR levenshtein(x.c_name, y.c_name) <= 1)
+),
+sym AS (
+  SELECT src AS v, dst AS nb FROM pred_edges UNION SELECT dst, src FROM pred_edges
+),
+ids AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer)
+"""
+
+# star pieces: degree, centers (no dominating neighbor), attachment
+_STAR_CTES = """
+deg AS (
+  SELECT i.id, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS deg
+  FROM ids i LEFT JOIN (SELECT v, count(*) AS cnt FROM sym GROUP BY v) d ON d.v = i.id
+),
+centers AS (
+  SELECT d.id FROM deg d WHERE NOT EXISTS (
+    SELECT 1 FROM sym s JOIN deg e ON e.id = s.nb
+    WHERE s.v = d.id AND (e.deg > d.deg OR (e.deg = d.deg AND e.id < d.id)))
+),
+att AS (
+  SELECT v AS id, ctr FROM (
+    SELECT s.v, e.id AS ctr,
+           row_number() OVER (PARTITION BY s.v ORDER BY e.deg DESC, e.id) AS rn
+    FROM sym s JOIN deg e ON e.id = s.nb JOIN centers c ON c.id = s.nb) t
+  WHERE rn = 1
+),
+star AS (
+  SELECT d.id, d.deg, (c.id IS NOT NULL) AS is_center,
+         CAST(CASE WHEN c.id IS NOT NULL THEN d.id
+                   ELSE COALESCE(a.ctr, d.id) END AS BIGINT) AS cluster_id
+  FROM deg d
+  LEFT JOIN centers c ON c.id = d.id
+  LEFT JOIN att a ON a.id = d.id
+)
+"""
+
+_CLUSTER_STAR_SQL = f"""
+WITH
+{_GRAPH_CTES},
+{_STAR_CTES}
+SELECT id, deg, is_center, cluster_id FROM star
+"""
+
+# merge-center: center-merge graph (adjacent or sharing a neighbor) -> closure
+_MERGE_CTES = """
+mc AS (
+  SELECT e1.nb AS c1, e2.nb AS c2
+  FROM sym e1 JOIN sym e2 ON e1.v = e2.v AND e1.nb < e2.nb
+  JOIN centers x ON x.id = e1.nb JOIN centers y ON y.id = e2.nb
+  UNION
+  SELECT s.v, s.nb FROM sym s
+  JOIN centers x ON x.id = s.v JOIN centers y ON y.id = s.nb
+  WHERE s.v < s.nb
+),
+mund AS (SELECT c1 AS a, c2 AS b FROM mc UNION SELECT c2, c1 FROM mc),
+mreach(root, node) AS (
+  SELECT id, id FROM centers
+  UNION
+  SELECT r.root, u.b FROM mreach r JOIN mund u ON u.a = r.node
+),
+merged AS (SELECT root AS ctr, min(node) AS mcl FROM mreach GROUP BY root),
+mc_labels AS (
+  SELECT s.id, CAST(COALESCE(m.mcl, s.cluster_id) AS BIGINT) AS cluster_id
+  FROM star s LEFT JOIN merged m ON m.ctr = s.cluster_id
+)
+"""
+
+_CLUSTER_MERGE_CENTER_SQL = f"""
+WITH RECURSIVE
+{_GRAPH_CTES},
+{_STAR_CTES},
+{_MERGE_CTES}
+SELECT id, cluster_id FROM mc_labels
+"""
+
+# KwikCluster pivot: greedy-MIS rounds over the deterministic md5 key order,
+# then one assignment join — the exact state machine pivot_labels runs.
+_PIVOT_KEY = "md5(CAST({c} AS VARCHAR)) || lpad(CAST({c} AS VARCHAR), 12, '0')"
+
+_PIVOT_CTES = f"""
+keyed AS (SELECT id, {_PIVOT_KEY.format(c='id')} AS kk FROM ids),
+state(rnd, id, kk, st) AS (
+  SELECT 0, id, kk, 'a' FROM keyed
+  UNION ALL
+  SELECT s.rnd + 1, s.id, s.kk,
+    CASE WHEN s.st <> 'a' THEN s.st
+         WHEN NOT EXISTS (SELECT 1 FROM sym e JOIN state t ON t.id = e.nb
+                          WHERE e.v = s.id AND t.st = 'a' AND t.kk < s.kk)
+           THEN 'p'
+         WHEN EXISTS (SELECT 1 FROM sym e JOIN state t ON t.id = e.nb
+                      WHERE e.v = s.id AND t.st = 'a'
+                        AND NOT EXISTS (SELECT 1 FROM sym e2 JOIN state u ON u.id = e2.nb
+                                        WHERE e2.v = t.id AND u.st = 'a' AND u.kk < t.kk))
+           THEN 'c'
+         ELSE 'a' END
+  FROM state s
+  WHERE s.rnd < 64 AND EXISTS (SELECT 1 FROM state x WHERE x.st = 'a')
+),
+pivots AS (SELECT DISTINCT id FROM state WHERE st = 'p'),
+pv_labels AS (
+  SELECT i.id,
+         CAST(CASE WHEN p.id IS NOT NULL THEN i.id
+              ELSE (SELECT q.nb FROM sym q JOIN pivots pp ON pp.id = q.nb
+                    WHERE q.v = i.id
+                    ORDER BY {_PIVOT_KEY.format(c='q.nb')} LIMIT 1)
+              END AS BIGINT) AS cluster_id
+  FROM ids i LEFT JOIN pivots p ON p.id = i.id
+)
+"""
+
+_CLUSTER_PIVOT_SQL = f"""
+WITH RECURSIVE
+{_GRAPH_CTES},
+{_PIVOT_CTES}
+SELECT id, cluster_id FROM pv_labels
+"""
+
+# closure labels of an undirected edge CTE named {e}, seeded from ids
+def _reach(prefix: str, e: str) -> str:
+    return f"""
+{prefix}_und AS (SELECT src AS a, dst AS b FROM {e} UNION SELECT dst, src FROM {e}),
+{prefix}_reach(root, node) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT r.root, u.b FROM {prefix}_reach r JOIN {prefix}_und u ON u.a = r.node
+),
+{prefix}_labels AS (SELECT root AS id, min(node) AS cluster_id FROM {prefix}_reach GROUP BY root)
+"""
+
+
+_QUALITY_SQL = f"""
+WITH RECURSIVE
+{_GRAPH_CTES},
+gold_edges AS ({_GOLD_EDGES_SQL}),
+{_reach('pred', 'pred_edges')},
+{_reach('gold', 'gold_edges')},
+t AS (
+  SELECT p.id, p.cluster_id AS p, g.cluster_id AS g
+  FROM pred_labels p JOIN gold_labels g USING (id)
+),
+cells AS (SELECT p, g, CAST(count(*) AS BIGINT) AS n_pg FROM t GROUP BY p, g),
+psz AS (SELECT p, CAST(count(*) AS BIGINT) AS np FROM t GROUP BY p),
+gsz AS (SELECT g, CAST(count(*) AS BIGINT) AS ng FROM t GROUP BY g),
+nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+cell_agg AS (
+  SELECT sum(CAST(n_pg AS DOUBLE) * (CAST(n_pg AS DOUBLE) - 1.0) / 2.0) AS sum_pairs,
+         sum((CAST(n_pg AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(n_pg AS DOUBLE) * CAST(n AS DOUBLE)
+                  / (CAST(np AS DOUBLE) * CAST(ng AS DOUBLE)))) AS mi
+  FROM cells JOIN psz USING (p) JOIN gsz USING (g) CROSS JOIN nrow
+),
+p_agg AS (
+  SELECT sum(CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) - 1.0) / 2.0) AS sum_a,
+         -sum((CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(np AS DOUBLE) / CAST(n AS DOUBLE))) AS hp,
+         CAST(count(*) AS BIGINT) AS n_pred_clusters
+  FROM psz CROSS JOIN nrow
+),
+g_agg AS (
+  SELECT sum(CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1.0) / 2.0) AS sum_b,
+         -sum((CAST(ng AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(ng AS DOUBLE) / CAST(n AS DOUBLE))) AS hg,
+         CAST(count(*) AS BIGINT) AS n_gold_clusters
+  FROM gsz CROSS JOIN nrow
+),
+m AS (
+  SELECT *,
+         CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0 AS npairs
+  FROM cell_agg CROSS JOIN p_agg CROSS JOIN g_agg CROSS JOIN nrow
+),
+fin AS (
+  SELECT n, n_pred_clusters, n_gold_clusters, sum_pairs, mi, hp, hg,
+         sum_a * sum_b / npairs AS expv,
+         0.5 * (sum_a + sum_b) - sum_a * sum_b / npairs AS ari_den
+  FROM m
+)
+SELECT n AS n_records, n_pred_clusters, n_gold_clusters,
+       round(CASE WHEN ari_den = 0.0 THEN 1.0
+                  ELSE (sum_pairs - expv) / ari_den END, 6) AS ari,
+       round(CASE WHEN hp = 0.0 AND hg = 0.0 THEN 1.0
+                  WHEN hp = 0.0 OR hg = 0.0 THEN 0.0
+                  ELSE mi / sqrt(hp * hg) END, 6) AS nmi,
+       round(hp + hg - 2.0 * mi, 6) AS vi,
+       round(CASE WHEN hg = 0.0 THEN 1.0 ELSE mi / hg END, 6) AS homogeneity,
+       round(CASE WHEN hp = 0.0 THEN 1.0 ELSE mi / hp END, 6) AS completeness,
+       round(CASE WHEN (CASE WHEN hg = 0.0 THEN 1.0 ELSE mi / hg END)
+                      + (CASE WHEN hp = 0.0 THEN 1.0 ELSE mi / hp END) = 0.0 THEN 0.0
+                  ELSE 2.0 * (CASE WHEN hg = 0.0 THEN 1.0 ELSE mi / hg END)
+                       * (CASE WHEN hp = 0.0 THEN 1.0 ELSE mi / hp END)
+                       / ((CASE WHEN hg = 0.0 THEN 1.0 ELSE mi / hg END)
+                          + (CASE WHEN hp = 0.0 THEN 1.0 ELSE mi / hp END)) END, 6) AS v_measure
+FROM fin
+"""
+
+
+def _algo_row(algo: str, labels: str) -> str:
+    """Stats + co-membership PRF vs gold pairs for a labeling CTE
+    (id, cluster_id) — the same arithmetic as the Spark _pair_prf."""
+    return f"""
+SELECT '{algo}' AS algo, st.n_clusters, st.n_singletons, st.max_size,
+       m.n_pred, m.n_gold, m.tp,
+       m.n_pred - m.tp AS fp, m.n_gold - m.tp AS fn,
+       round(CAST(m.tp AS DOUBLE) / m.n_pred, 6) AS "precision",
+       round(CAST(m.tp AS DOUBLE) / m.n_gold, 6) AS recall,
+       round(CAST(2 * m.tp AS DOUBLE) / (m.n_pred + m.n_gold), 6) AS f1
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+         CAST(max(sz) AS BIGINT) AS max_size
+  FROM (SELECT cluster_id, count(*) AS sz FROM {labels} GROUP BY cluster_id)
+) st CROSS JOIN (
+  SELECT CAST(sum(CASE WHEN is_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+         CAST(sum(CASE WHEN is_gold THEN 1 ELSE 0 END) AS BIGINT) AS n_gold,
+         CAST(sum(CASE WHEN is_pred AND is_gold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM (
+    SELECT (p.src IS NOT NULL) AS is_pred, (g.src IS NOT NULL) AS is_gold
+    FROM (SELECT a.id AS src, b.id AS dst FROM {labels} a
+          JOIN {labels} b ON a.cluster_id = b.cluster_id AND a.id < b.id) p
+    FULL OUTER JOIN gold_pairs g ON p.src = g.src AND p.dst = g.dst
+  )
+) m
+"""
+
+
+_ALGO_COMPARE_SQL = f"""
+WITH RECURSIVE
+{_GRAPH_CTES},
+{_STAR_CTES},
+{_MERGE_CTES},
+{_PIVOT_CTES},
+gold_edges AS ({_GOLD_EDGES_SQL}),
+{_reach('pred', 'pred_edges')},
+{_reach('gold', 'gold_edges')},
+cc_labels AS (SELECT id, CAST(cluster_id AS BIGINT) AS cluster_id FROM pred_labels),
+star_l AS (SELECT id, cluster_id FROM star),
+gold_pairs AS (
+  SELECT a.id AS src, b.id AS dst FROM gold_labels a
+  JOIN gold_labels b ON a.cluster_id = b.cluster_id AND a.id < b.id
+)
+{_algo_row('cc', 'cc_labels')}
+UNION ALL
+{_algo_row('star', 'star_l')}
+UNION ALL
+{_algo_row('merge_center', 'mc_labels')}
+UNION ALL
+{_algo_row('pivot', 'pv_labels')}
+"""
+
+
+ORACLES = {
+    "cluster_star": _CLUSTER_STAR_SQL,
+    "cluster_merge_center": _CLUSTER_MERGE_CENTER_SQL,
+    "cluster_pivot": _CLUSTER_PIVOT_SQL,
+    "cluster_quality": _QUALITY_SQL,
+    "cluster_algo_compare": _ALGO_COMPARE_SQL,
+}
