@@ -353,7 +353,8 @@ def _pivot_key(id_col) -> "F.Column":
 
 
 def pivot_labels(
-    all_ids: DataFrame, edges: DataFrame, max_iterations: int = 64
+    all_ids: DataFrame, edges: DataFrame, max_iterations: int = 64,
+    stats: dict | None = None,
 ) -> DataFrame:
     """KwikCluster / correlation-clustering pivot labels: ``(id,
     cluster_id)``.
@@ -398,10 +399,21 @@ def pivot_labels(
         .withColumn("k", _pivot_key("id"))
     )
     pivot_parts: list[DataFrame] = []
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["active_per_round"] = []
     for _ in range(max_iterations):
         active = active.localCheckpoint(eager=False)
-        if active.limit(1).count() == 0:
-            break
+        if stats is None:
+            if active.limit(1).count() == 0:
+                break
+        else:
+            # full count per round (one extra reduce) — bench/diagnostic mode
+            n_active = active.count()
+            if n_active == 0:
+                break
+            stats["rounds"] += 1
+            stats["active_per_round"].append(int(n_active))
         # active-active neighbor stream with the neighbor's key
         aa = (
             sym.join(active.select(F.col("id").alias("v")), "v")
