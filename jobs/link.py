@@ -49,6 +49,11 @@ def main() -> int:
                     help="collapse identical-key-set rows through the pair "
                          "join (exact re-ingestion corpora; "
                          "BENCH/collapsed_clones.json)")
+    ap.add_argument("--cluster-method", default="cc",
+                    choices=["cc", "pivot", "star", "merge_center"],
+                    help="entity formation: transitive closure (default), "
+                         "KwikCluster correlation clustering, star, or "
+                         "MERGE-CENTER (operators/clustering.py)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--incremental-batch", default=None, metavar="BATCH_ID",
@@ -89,6 +94,7 @@ def main() -> int:
         adaptive_target_rows=args.adaptive_target_rows,
         memoize_scoring=args.memoize_scoring,
         collapse_clones=args.collapse_clones,
+        cluster_method=args.cluster_method,
         force=args.force,
     )
     t0 = time.perf_counter()

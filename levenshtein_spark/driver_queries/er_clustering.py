@@ -315,6 +315,10 @@ SELECT id, cluster_id FROM mc_labels
 
 # KwikCluster pivot: greedy-MIS rounds over the deterministic md5 key order,
 # then one assignment join — the exact state machine pivot_labels runs.
+# pivot_labels orders by the struct (md5(id-as-string), id); this concat
+# key realizes the identical total order for the BIGINT customer ids
+# (md5 hex is fixed-width, and lpad-to-12 is order-preserving for
+# 0 <= id < 10^12), keeping the twin a single scalar comparison.
 _PIVOT_KEY = "md5(CAST({c} AS VARCHAR)) || lpad(CAST({c} AS VARCHAR), 12, '0')"
 
 _PIVOT_CTES = f"""

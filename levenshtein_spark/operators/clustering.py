@@ -242,15 +242,20 @@ def star_labels(all_ids: DataFrame, edges: DataFrame) -> DataFrame:
     possible under the parallel rule on degree-alternating paths — falls
     back to a singleton cluster of itself. Isolated nodes are centers.
 
+    Works for any orderable id type (the linkage pipeline's sha-hex string
+    ids as well as numeric keys) — label columns preserve the input type.
+
     Scale shape: one degree count on the slim symmetric edge stream, one
-    neighbor-degree join + anti-dominance aggregation, one attach join with
-    a struct-max argmax. No iteration, nothing wider than the edge stream.
+    neighbor-degree join + anti-dominance aggregation, one attach argmax as
+    two aggregations (max degree, then min id at that degree) — no window,
+    no neighbor-list materialization. No iteration, nothing wider than the
+    edge stream.
     """
     from levenshtein_spark.session import scoped_persist
 
     sym = _sym_neighbors(edges).transform(scoped_persist)
     deg = (
-        all_ids.select(F.col("id").cast("long").alias("id"))
+        all_ids.select("id")
         .join(sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg")),
               F.col("id") == F.col("v"), "left")
         .select("id", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
@@ -270,12 +275,17 @@ def star_labels(all_ids: DataFrame, edges: DataFrame) -> DataFrame:
         .distinct()
     )
     centers = deg.join(dominated, "id", "left_anti").select("id").transform(scoped_persist)
-    # attach: per non-center, the (max deg, min id) center neighbor
+    # attach: per non-center, the (max deg, min id) center neighbor —
+    # argmax as two aggregations so the id type stays arbitrary (no
+    # negation trick) and no per-node neighbor list ever materializes
+    cand = nbd.join(centers.withColumnRenamed("id", "nb"), "nb").transform(scoped_persist)
+    best = cand.groupBy("v").agg(F.max("nb_deg").alias("bd"))
     att = (
-        nbd.join(centers.withColumnRenamed("id", "nb"), "nb")
+        cand.join(best, "v")
+        .where(F.col("nb_deg") == F.col("bd"))
         .groupBy("v")
-        .agg(F.max(F.struct(F.col("nb_deg"), (-F.col("nb")).alias("neg"))).alias("best"))
-        .select(F.col("v").alias("id"), (-F.col("best.neg")).cast("long").alias("ctr"))
+        .agg(F.min("nb").alias("ctr"))
+        .select(F.col("v").alias("id"), "ctr")
     )
     is_center = centers.withColumn("is_center", F.lit(True))
     return (
@@ -287,7 +297,6 @@ def star_labels(all_ids: DataFrame, edges: DataFrame) -> DataFrame:
             F.coalesce("is_center", F.lit(False)).alias("is_center"),
             F.when(F.col("is_center"), F.col("id"))
             .otherwise(F.coalesce("ctr", F.col("id")))
-            .cast("long")
             .alias("cluster_id"),
         )
     )
@@ -332,24 +341,27 @@ def merge_center_labels(all_ids: DataFrame, edges: DataFrame) -> DataFrame:
         .select(F.col("v").alias("src"), F.col("nb").alias("dst"))
     )
     merged = cluster_labels(centers, shared.unionByName(adjacent)).select(
-        F.col("id").alias("ctr"), F.col("cluster_id").cast("long").alias("merged_cl")
+        F.col("id").alias("ctr"), F.col("cluster_id").alias("merged_cl")
     )
     return (
         star.join(merged, star["cluster_id"] == F.col("ctr"), "left")
         .select(
             "id",
-            F.coalesce("merged_cl", "cluster_id").cast("long").alias("cluster_id"),
+            F.coalesce("merged_cl", "cluster_id").alias("cluster_id"),
         )
     )
 
 
 def _pivot_key(id_col) -> "F.Column":
     """Deterministic pseudo-random total order shared with the DuckDB twin:
-    md5 of the decimal id, suffixed with the zero-padded id so the order is
-    total even under (astronomically unlikely) digest collisions. String
-    comparison of lowercase hex is identical across engines."""
-    s = F.col(id_col).cast("long").cast("string")
-    return F.concat(F.md5(s), F.lpad(s, 12, "0"))
+    the struct (md5 of the id rendered as a string, the id itself) under
+    lexicographic struct comparison — the digest randomizes the scan order,
+    the id component makes it total even under (astronomically unlikely)
+    digest collisions, and it works for any orderable id type. DuckDB's
+    row-value comparison (kk, id) < (kk2, id2) is the identical order."""
+    return F.struct(
+        F.md5(F.col(id_col).cast("string")).alias("h"), F.col(id_col).alias("i")
+    )
 
 
 def pivot_labels(
@@ -392,12 +404,7 @@ def pivot_labels(
     from levenshtein_spark.session import scoped_persist
 
     sym = _sym_neighbors(edges).transform(scoped_persist)
-    spark = all_ids.sparkSession
-    active = (
-        all_ids.select(F.col("id").cast("long").alias("id"))
-        .distinct()
-        .withColumn("k", _pivot_key("id"))
-    )
+    active = all_ids.select("id").distinct().withColumn("k", _pivot_key("id"))
     pivot_parts: list[DataFrame] = []
     if stats is not None:
         stats["rounds"] = 0
@@ -437,7 +444,7 @@ def pivot_labels(
     else:
         raise RuntimeError(f"pivot_labels did not converge in {max_iterations} rounds")
     if not pivot_parts:
-        return spark.createDataFrame([], "id long, cluster_id long")
+        return all_ids.select("id", F.col("id").alias("cluster_id")).limit(0)
     pset = pivot_parts[0]
     for p in pivot_parts[1:]:
         pset = pset.unionByName(p)
@@ -449,10 +456,10 @@ def pivot_labels(
         .join(pset.withColumnRenamed("id", "v"), "v", "left_anti")
         .groupBy("v")
         .agg(F.min(F.struct(F.col("nbk"), F.col("nb").alias("pid"))).alias("best"))
-        .select(F.col("v").alias("id"), F.col("best.pid").cast("long").alias("cluster_id"))
+        .select(F.col("v").alias("id"), F.col("best.pid").alias("cluster_id"))
     )
     return (
         pset.select("id", F.col("id").alias("cluster_id"))
         .unionByName(att)
-        .select("id", F.col("cluster_id").cast("long").alias("cluster_id"))
+        .select("id", "cluster_id")
     )

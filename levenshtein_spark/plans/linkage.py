@@ -20,7 +20,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from levenshtein_spark.operators.blocking import exploded_blocks
-from levenshtein_spark.operators.clustering import cluster_labels
+from levenshtein_spark.operators.clustering import (
+    cluster_labels,
+    merge_center_labels,
+    pivot_labels,
+    star_labels,
+)
 from levenshtein_spark.operators.normalize import normalize
 from levenshtein_spark.operators.pairs import (
     attach_pair_payload,
@@ -61,8 +66,30 @@ class LinkageConfig:
     # Mutually exclusive with adaptive_target_rows (the collapsed variant
     # carries no adaptive-salt mode yet).
     collapse_clones: bool = False
+    # entity formation: "cc" (transitive closure — the north rule's default,
+    # highest recall), "pivot" (KwikCluster correlation clustering — bridge-
+    # edge-robust, every cluster a radius-1 star around a verified pivot),
+    # "star" (one-round star clustering), or "merge_center" (MERGE-CENTER).
+    # All four are deterministic and id-type-generic; see
+    # operators/clustering.py. cc keeps the reliable per-round parquet
+    # checkpoints; the alternatives truncate lineage locally (pivot's rounds
+    # are O(log n) like the closure's).
+    cluster_method: str = "cc"
     force: bool = False
     stage_times: dict = field(default_factory=dict)
+
+
+def _form_entities(cfg: LinkageConfig, ids, edges):
+    method = cfg.cluster_method
+    if method == "cc":
+        return cluster_labels(ids, edges, checkpoint_dir=f"{cfg.checkpoint_dir}/cc_rounds")
+    if method == "pivot":
+        return pivot_labels(ids, edges)
+    if method == "star":
+        return star_labels(ids, edges).select("id", "cluster_id")
+    if method == "merge_center":
+        return merge_center_labels(ids, edges)
+    raise ValueError(f"unknown cluster_method: {method!r}")
 
 
 def run_linkage(spark: SparkSession, source: DataFrame, cfg: LinkageConfig) -> dict:
@@ -113,9 +140,7 @@ def run_linkage(spark: SparkSession, source: DataFrame, cfg: LinkageConfig) -> d
         wh,
         cfg,
         "clusters",
-        lambda: cluster_labels(
-            normalized.select("id"), edges, checkpoint_dir=f"{cfg.checkpoint_dir}/cc_rounds"
-        ),
+        lambda: _form_entities(cfg, normalized.select("id"), edges),
     )
 
     # Per-row invariant (input_hint): sha256(content) must survive the

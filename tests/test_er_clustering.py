@@ -82,7 +82,8 @@ def _brute_merge_center(ids, edges):
 
 
 def _key(i):
-    return hashlib.md5(str(i).encode()).hexdigest() + str(i).zfill(12)
+    # the operator's scan order: struct (md5(str(id)), id) — tuple compare
+    return (hashlib.md5(str(i).encode()).hexdigest(), i)
 
 
 def _brute_kwik(ids, edges):
@@ -194,3 +195,41 @@ def test_pivot_random(spark, seed):
 def test_pivot_empty(spark):
     ids_df, e_df = _spark_edges(spark, [], [])
     assert pivot_labels(ids_df, e_df).count() == 0
+
+
+# -- string-id graphs (the linkage pipeline's sha-hex ids) --------------------
+
+def _str_graph(seed, n, m):
+    ids, edges = _random_graph(seed, n, m)
+    name = lambda i: f"doc-{i:04d}"
+    return [name(i) for i in ids], [(name(a), name(b)) for a, b in edges]
+
+
+def _spark_edges_str(spark, ids, edges):
+    ids_df = spark.createDataFrame([(i,) for i in ids], "id string")
+    e_df = spark.createDataFrame(list(edges), "src string, dst string")
+    return ids_df, e_df
+
+
+def test_star_string_ids(spark):
+    ids, edges = _str_graph(41, 50, 70)
+    ids_df, e_df = _spark_edges_str(spark, ids, edges)
+    got = {
+        r.id: (r.deg, r.is_center, r.cluster_id)
+        for r in star_labels(ids_df, e_df).collect()
+    }
+    assert got == _brute_star(ids, edges)
+
+
+def test_merge_center_string_ids(spark):
+    ids, edges = _str_graph(42, 40, 55)
+    ids_df, e_df = _spark_edges_str(spark, ids, edges)
+    got = {r.id: r.cluster_id for r in merge_center_labels(ids_df, e_df).collect()}
+    assert got == _brute_merge_center(ids, edges)
+
+
+def test_pivot_string_ids(spark):
+    ids, edges = _str_graph(43, 60, 90)
+    ids_df, e_df = _spark_edges_str(spark, ids, edges)
+    got = {r.id: r.cluster_id for r in pivot_labels(ids_df, e_df).collect()}
+    assert got == _brute_kwik(ids, edges)

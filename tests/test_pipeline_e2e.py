@@ -269,3 +269,29 @@ def test_collapse_clones_pipeline_identical(spark, tmp_path_factory, pipeline):
                 checkpoint_dir=ckpt, collapse_clones=True, adaptive_target_rows=100
             ),
         )
+
+
+def test_cluster_method_pivot(spark, tmp_path):
+    """cluster_method="pivot" forms entities with KwikCluster over the same
+    verified edge stage, on the pipeline's real sha-hex string ids — checked
+    against the serial KwikCluster reference on the collected edge set."""
+    from tests.test_er_clustering import _brute_kwik
+
+    src = code_files_df(spark, num_clusters=25, seed=7)
+    cfg = LinkageConfig(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k_content=K_CONTENT,
+        hot_threshold=150,
+        num_salts=4,
+        cluster_method="pivot",
+    )
+    out = run_linkage(spark, src, cfg)
+    ids = [r.id for r in out["normalized"].select("id").collect()]
+    edges = [(r.src, r.dst) for r in out["edges"].select("src", "dst").collect()]
+    got = {r.id: r.cluster_id for r in out["clusters"].collect()}
+    assert got == _brute_kwik(ids, edges)
+    # pivot never merges two whole clusters through one bridge: every member
+    # is a verified neighbor of its pivot
+    nbrs = set(edges) | {(b, a) for a, b in edges}
+    for v, p in got.items():
+        assert v == p or (v, p) in nbrs
