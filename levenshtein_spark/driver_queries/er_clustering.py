@@ -191,10 +191,11 @@ def q_cluster_algo_compare(spark: SparkSession, sf: str) -> DataFrame:
         cluster_labels(ids, _gold_edges(spark, sf))
     ).transform(scoped_persist)
 
+    star = star_labels(ids, edges).transform(scoped_persist)
     algos = {
         "cc": cluster_labels(ids, edges),
-        "star": star_labels(ids, edges).select("id", "cluster_id"),
-        "merge_center": merge_center_labels(ids, edges),
+        "star": star.select("id", "cluster_id"),
+        "merge_center": merge_center_labels(ids, edges, star=star),
         "pivot": pivot_labels(ids, edges),
     }
     rows = []

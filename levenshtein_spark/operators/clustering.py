@@ -302,7 +302,9 @@ def star_labels(all_ids: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def merge_center_labels(all_ids: DataFrame, edges: DataFrame) -> DataFrame:
+def merge_center_labels(
+    all_ids: DataFrame, edges: DataFrame, star: DataFrame | None = None
+) -> DataFrame:
     """MERGE-CENTER (Hassanzadeh & Miller, VLDBJ 2009) re-expressed over the
     parallel star assignment: ``(id, cluster_id)``.
 
@@ -322,7 +324,9 @@ def merge_center_labels(all_ids: DataFrame, edges: DataFrame) -> DataFrame:
     from levenshtein_spark.session import scoped_persist
 
     sym = _sym_neighbors(edges).transform(scoped_persist)
-    star = star_labels(all_ids, edges).transform(scoped_persist)
+    if star is None:
+        star = star_labels(all_ids, edges)
+    star = star.transform(scoped_persist)
     centers = star.where("is_center").select("id")
     # center pairs sharing a common neighbor (covers direct adjacency too:
     # for adjacent centers c1-c2, c2 is a node adjacent to both by symmetry
