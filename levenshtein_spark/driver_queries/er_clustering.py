@@ -499,3 +499,120 @@ ORACLES = {
     "cluster_quality": _QUALITY_SQL,
     "cluster_algo_compare": _ALGO_COMPARE_SQL,
 }
+
+
+_SWEEP_MAX_K = 3
+
+
+def q_cluster_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical entity resolution: the single-linkage dendrogram levels.
+
+    Transitive closure at edge rule "same nation AND name distance <= k" for
+    k = 0..3 over ONE scoring pass of the SNM candidates (bounded kernel at
+    cap 3; a pair scored once serves every level). One row per k:
+    n_edges, n_clusters, n_singletons, max_size — the agglomerative view of
+    the match graph, where walking k up the column trades precision for
+    recall exactly like walking the FS threshold down
+    (``fs_threshold_curve``) or the SNM window up
+    (``blocking_window_curve``). Monotone by construction: each level's
+    partition refines the next (edge sets are nested), so n_clusters is
+    non-increasing and max_size non-decreasing in k — pinned in tests.
+
+    Scale shape: one blocked scoring pass, then per level one closure over
+    an edge SUBSET (no rescoring); stats are map-side-combining counts.
+    """
+    from levenshtein_spark.driver_queries.er_eval import q_snm_pairs
+    from levenshtein_spark.functions.distance import bounded_edit_dist
+    from levenshtein_spark.operators.pairs import attach_pair_payload
+
+    c = tbl(spark, sf, "customer")
+    records = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    ids = records.select("id")
+    cand = q_snm_pairs(spark, sf).select(
+        F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b")
+    )
+    fat = attach_pair_payload(cand, records, ["name", "nation"])
+    scored = (
+        fat.where(F.col("nation_a") == F.col("nation_b"))
+        .select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            F.when(F.col("name_a") == F.col("name_b"), F.lit(0))
+            .otherwise(bounded_edit_dist("name_a", "name_b", _SWEEP_MAX_K))
+            .cast("long")
+            .alias("dist"),
+        )
+        .transform(scoped_persist)
+    )
+    rows = []
+    for k in range(_SWEEP_MAX_K + 1):
+        edges = scored.where(F.col("dist") <= k).select("src", "dst")
+        labels = cluster_labels(ids, edges).transform(scoped_persist)
+        sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+        n_edges = edges.count()
+        rows.append(
+            sizes.agg(
+                F.lit(k).cast("long").alias("k"),
+                F.lit(n_edges).cast("long").alias("n_edges"),
+                F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                F.sum(F.when(F.col("sz") == 1, 1).otherwise(0)).cast("long").alias("n_singletons"),
+                F.max("sz").cast("long").alias("max_size"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+QUERIES["cluster_threshold_sweep"] = q_cluster_threshold_sweep
+
+
+def _sweep_level_sql(k: int) -> str:
+    return f"""
+e{k} AS (SELECT src, dst FROM scored WHERE dist <= {k}),
+e{k}_und AS (SELECT src AS a, dst AS b FROM e{k} UNION SELECT dst, src FROM e{k}),
+e{k}_reach(root, node) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT r.root, u.b FROM e{k}_reach r JOIN e{k}_und u ON u.a = r.node
+),
+e{k}_labels AS (SELECT root AS id, min(node) AS cluster_id FROM e{k}_reach GROUP BY root),
+e{k}_sizes AS (SELECT cluster_id, count(*) AS sz FROM e{k}_labels GROUP BY cluster_id),
+e{k}_row AS (
+  SELECT CAST({k} AS BIGINT) AS k,
+         (SELECT CAST(count(*) AS BIGINT) FROM e{k}) AS n_edges,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+         CAST(max(sz) AS BIGINT) AS max_size
+  FROM e{k}_sizes
+)"""
+
+
+_SWEEP_SQL = f"""
+WITH RECURSIVE
+snm_cand AS (
+  SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b FROM ({_SNM_PAIRS})
+),
+ids AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+scored AS (
+  SELECT CAST(c.id_a AS BIGINT) AS src, CAST(c.id_b AS BIGINT) AS dst,
+         CASE WHEN x.c_name = y.c_name THEN 0
+              ELSE levenshtein(x.c_name, y.c_name) END AS dist
+  FROM snm_cand c
+  JOIN customer x ON x.c_custkey = c.id_a
+  JOIN customer y ON y.c_custkey = c.id_b
+  WHERE x.c_nationkey = y.c_nationkey
+),
+{",".join(_sweep_level_sql(k) for k in range(_SWEEP_MAX_K + 1))}
+SELECT * FROM e0_row
+UNION ALL SELECT * FROM e1_row
+UNION ALL SELECT * FROM e2_row
+UNION ALL SELECT * FROM e3_row
+"""
+
+ORACLES["cluster_threshold_sweep"] = _SWEEP_SQL

@@ -160,3 +160,23 @@ def test_window_curve_invariants(window_curve):
             assert r["pairs_completeness"] >= prev["pairs_completeness"]
             assert r["reduction_ratio"] < prev["reduction_ratio"]
         prev = r
+
+
+def test_threshold_sweep_monotone(spark):
+    from levenshtein_spark.driver_queries.er_clustering import q_cluster_threshold_sweep
+
+    rows = sorted(q_cluster_threshold_sweep(spark, SF).collect(), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [0, 1, 2, 3]
+    prev = None
+    for r in rows:
+        assert r["n_clusters"] >= 1 and r["max_size"] >= 1
+        if prev is not None:
+            # nested edge sets -> coarsening partitions
+            assert r["n_edges"] >= prev["n_edges"]
+            assert r["n_clusters"] <= prev["n_clusters"]
+            assert r["max_size"] >= prev["max_size"]
+            assert r["n_singletons"] <= prev["n_singletons"]
+        prev = r
+    # k=0 edges are exact-name duplicates within nation; clusters can't
+    # exceed record count and the sweep must actually move at some level
+    assert rows[0]["n_clusters"] >= rows[-1]["n_clusters"]
