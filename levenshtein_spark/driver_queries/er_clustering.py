@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 from levenshtein_spark.driver_queries import tbl
 from levenshtein_spark.driver_queries.er_eval import (
     _GOLD_EDGES_SQL,
+    _PRED_EDGES_CTES,
     _SNM_PAIRS,
     _gold_edges,
     _intra_cluster_pairs,
@@ -230,19 +231,11 @@ QUERIES = {
 # Shared graph CTEs: the SNM predictor edges (same text as the er_eval
 # twins), the distinct symmetric neighbor stream, and the id universe.
 _GRAPH_CTES = f"""
-snm_cand AS (
-  SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b FROM ({_SNM_PAIRS})
-),
-pred_edges AS (
-  SELECT CAST(c.id_a AS BIGINT) AS src, CAST(c.id_b AS BIGINT) AS dst
-  FROM snm_cand c
-  JOIN customer x ON x.c_custkey = c.id_a
-  JOIN customer y ON y.c_custkey = c.id_b
-  WHERE x.c_nationkey = y.c_nationkey
-    AND (x.c_name = y.c_name OR levenshtein(x.c_name, y.c_name) <= 1)
-),
+{_PRED_EDGES_CTES},
 sym AS (
-  SELECT src AS v, dst AS nb FROM pred_edges UNION SELECT dst, src FROM pred_edges
+  SELECT CAST(src AS BIGINT) AS v, CAST(dst AS BIGINT) AS nb FROM pred_edges
+  UNION
+  SELECT CAST(dst AS BIGINT), CAST(src AS BIGINT) FROM pred_edges
 ),
 ids AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer)
 """

@@ -163,7 +163,15 @@ def q_blocking_window_curve(spark: SparkSession, sf: str) -> DataFrame:
         F.greatest("id_a", "id_b").cast("long").alias("dst"),
         F.col("gap").cast("long").alias("gap"),
     )
-    gold = _gold_edges(spark, sf).withColumn("is_gold", F.lit(True))
+    from levenshtein_spark.session import scoped_persist
+
+    # persisted: gold feeds BOTH the candidate left-join and the n_gold
+    # total — unpersisted, the Ed-Join gold generator would run twice
+    gold = (
+        _gold_edges(spark, sf)
+        .withColumn("is_gold", F.lit(True))
+        .transform(scoped_persist)
+    )
     lab = pairs.join(gold, ["src", "dst"], "left")
     grp = lab.groupBy("gap").agg(
         F.count(F.lit(1)).alias("n_g"),

@@ -1104,9 +1104,11 @@ m AS (
 {_PRF_SELECT}
 """
 
-# shared WITH RECURSIVE prefix: SNM edges -> closure labels, brute gold ->
-# closure labels (used by the cluster-level F1 AND the B-cubed twins)
-_LABELS_CTES = f"""
+# shared SNM-predictor edge CTEs — the ONE SQL definition of the edge rule
+# the _snm_pred_edges Spark builder implements; every oracle that needs the
+# predictor graph (cluster-level F1, B-cubed, and the er_clustering module's
+# graph-clustering twins) composes this fragment instead of restating it.
+_PRED_EDGES_CTES = f"""
 snm_cand AS (
   SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b FROM ({_SNM_PAIRS})
 ),
@@ -1117,7 +1119,12 @@ pred_edges AS (
   JOIN customer y ON y.c_custkey = c.id_b
   WHERE x.c_nationkey = y.c_nationkey
     AND (x.c_name = y.c_name OR levenshtein(x.c_name, y.c_name) <= 1)
-),
+)"""
+
+# shared WITH RECURSIVE prefix: SNM edges -> closure labels, brute gold ->
+# closure labels (used by the cluster-level F1 AND the B-cubed twins)
+_LABELS_CTES = f"""
+{_PRED_EDGES_CTES},
 gold_edges AS ({_GOLD_EDGES_SQL}),
 pred_und AS (
   SELECT src AS a, dst AS b FROM pred_edges UNION SELECT dst, src FROM pred_edges

@@ -79,10 +79,20 @@ class LinkageConfig:
     stage_times: dict = field(default_factory=dict)
 
 
-def _form_entities(cfg: LinkageConfig, ids, edges):
+def _clusters_stage_name(cfg: LinkageConfig, prefix: str = "") -> str:
+    # cluster_method is the first config knob that CHANGES stage output, so
+    # it must be part of the stage identity — otherwise resuming a
+    # checkpoint dir with a different method would silently return the
+    # previous method's cached labels. "cc" keeps the legacy bare name so
+    # existing checkpoints stay resumable.
+    base = f"{prefix}clusters"
+    return base if cfg.cluster_method == "cc" else f"{base}_{cfg.cluster_method}"
+
+
+def _form_entities(cfg: LinkageConfig, ids, edges, cc_rounds_dir: str):
     method = cfg.cluster_method
     if method == "cc":
-        return cluster_labels(ids, edges, checkpoint_dir=f"{cfg.checkpoint_dir}/cc_rounds")
+        return cluster_labels(ids, edges, checkpoint_dir=cc_rounds_dir)
     if method == "pivot":
         return pivot_labels(ids, edges)
     if method == "star":
@@ -139,8 +149,10 @@ def run_linkage(spark: SparkSession, source: DataFrame, cfg: LinkageConfig) -> d
     clusters = _stage(
         wh,
         cfg,
-        "clusters",
-        lambda: _form_entities(cfg, normalized.select("id"), edges),
+        _clusters_stage_name(cfg),
+        lambda: _form_entities(
+            cfg, normalized.select("id"), edges, f"{cfg.checkpoint_dir}/cc_rounds"
+        ),
     )
 
     # Per-row invariant (input_hint): sha256(content) must survive the
@@ -277,11 +289,12 @@ def run_incremental_linkage(
     clusters = _stage(
         wh,
         cfg,
-        f"{batch_id}_clusters",
-        lambda: cluster_labels(
+        _clusters_stage_name(cfg, prefix=f"{batch_id}_"),
+        lambda: _form_entities(
+            cfg,
             all_norm.select("id"),
             all_edges,
-            checkpoint_dir=f"{cfg.checkpoint_dir}/cc_rounds_{batch_id}",
+            f"{cfg.checkpoint_dir}/cc_rounds_{batch_id}",
         ),
     )
     # merged tables = the NEXT batch's base (base_prefix=f"{batch_id}_all_")

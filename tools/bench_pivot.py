@@ -84,6 +84,8 @@ def check_invariants(spark, n: int = 20000, seed: int = 7) -> dict:
         .count()
     )
     release_caches(spark)
+    assert bad_member == 0, f"{bad_member} members not adjacent to their pivot"
+    assert bad_pivot == 0, f"{bad_pivot} pivot-pivot edges (not an independent set)"
     return {"n": n, "non_adjacent_members": int(bad_member), "pivot_pivot_edges": int(bad_pivot)}
 
 
