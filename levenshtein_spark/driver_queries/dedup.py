@@ -1069,3 +1069,70 @@ reach(root, node) AS (
 SELECT CAST(root AS BIGINT) AS doc_id, CAST(min(node) AS BIGINT) AS canonical_id
 FROM reach GROUP BY root
 """
+
+
+def q_dedup_canonical_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Bridge-safe near-dup collapse: KwikCluster pivot clustering over the
+    SAME verified edge set as ``dedup_canonical``, instead of the closure.
+
+    The closure's known failure mode at corpus scale is the near-dup CHAIN:
+    A ~ B ~ C with A !~ C still collapses A and C into one canonical
+    (Lee et al. 2022's transitivity caveat). Pivot clusters are radius-1
+    stars — every collapsed doc is VERIFIED similar to its canonical — so a
+    chain breaks at the pivot boundary instead of collapsing end-to-end;
+    the cost is keeping a few more near-dup representatives (the expected
+    3-approximation of correlation-clustering disagreements). Comparing
+    this row set with ``dedup_canonical`` measures exactly how much chain
+    collapse the closure introduces on this corpus.
+
+    The DuckDB twin replays the identical deterministic MIS rounds (the
+    er_clustering pivot state machine) downstream of the same brute-force
+    band-key + Jaccard edge derivation.
+    """
+    from levenshtein_spark.operators.clustering import pivot_labels
+
+    edges = (
+        q_dedup_minhash(spark, sf)
+        .where(F.col("jaccard") >= _CANON_J)
+        .select(
+            F.col("doc_a").cast("long").alias("src"),
+            F.col("doc_b").cast("long").alias("dst"),
+        )
+    )
+    ids = tbl(spark, sf, "documents").select(F.col("doc_id").cast("long").alias("id"))
+    return pivot_labels(ids, edges).select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").alias("canonical_id")
+    )
+
+
+def _dd_canonical_pivot_sql() -> str:
+    from levenshtein_spark.driver_queries.er_clustering import _PIVOT_CTES
+
+    return f"""
+WITH RECURSIVE keys AS ({_dd_minhash_keys_sql()}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM keys l JOIN keys r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+grams AS (SELECT doc_id, list_distinct({_DD_BIGRAMS}) AS g FROM documents),
+vedges AS (
+  SELECT p.doc_a AS src, p.doc_b AS dst
+  FROM cand p
+  JOIN grams a ON a.doc_id = p.doc_a
+  JOIN grams b ON b.doc_id = p.doc_b
+  WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) >= {_CANON_J}
+),
+sym AS (
+  SELECT CAST(src AS BIGINT) AS v, CAST(dst AS BIGINT) AS nb FROM vedges
+  UNION
+  SELECT CAST(dst AS BIGINT), CAST(src AS BIGINT) FROM vedges
+),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+{_PIVOT_CTES}
+SELECT id AS doc_id, cluster_id AS canonical_id FROM pv_labels
+"""
+
+
+QUERIES["dedup_canonical_pivot"] = q_dedup_canonical_pivot
+ORACLES["dedup_canonical_pivot"] = _dd_canonical_pivot_sql()
