@@ -180,3 +180,31 @@ def test_threshold_sweep_monotone(spark):
     # k=0 edges are exact-name duplicates within nation; clusters can't
     # exceed record count and the sweep must actually move at some level
     assert rows[0]["n_clusters"] >= rows[-1]["n_clusters"]
+
+
+def test_dedup_canonical_pivot_invariants(spark):
+    """Every non-canonical doc must be VERIFIED similar to its canonical
+    (radius-1 property) — the exact guarantee the closure collapse lacks —
+    and the label set must be a subset-coarsening of the closure's."""
+    from levenshtein_spark.driver_queries.dedup import (
+        _CANON_J,
+        q_dedup_canonical,
+        q_dedup_canonical_pivot,
+        q_dedup_minhash,
+    )
+
+    edges = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in q_dedup_minhash(spark, SF).collect()
+        if r["jaccard"] >= _CANON_J
+    }
+    pv = {r["doc_id"]: r["canonical_id"] for r in q_dedup_canonical_pivot(spark, SF).collect()}
+    cc = {r["doc_id"]: r["canonical_id"] for r in q_dedup_canonical(spark, SF).collect()}
+    assert set(pv) == set(cc)
+    for d, c in pv.items():
+        if d != c:
+            assert (min(d, c), max(d, c)) in edges, (d, c)
+    # pivot refines the closure: docs sharing a pivot canonical share a
+    # closure component (pivot clusters never span components)
+    for d, c in pv.items():
+        assert cc[d] == cc[c], (d, c)
