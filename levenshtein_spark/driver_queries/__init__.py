@@ -47,19 +47,44 @@ def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict
         raise ValueError(f"oracle without query: {unknown}")
 
     # The round driver verifies the FIRST 50 registry entries against their
-    # DuckDB oracles. Rounds 2-3 banked driver-green rows for the catalog,
-    # linkage, dedup, text, and ann families (CORRECTNESS_r02/r03.json), so
-    # round 4 leads with the families the driver has never sampled:
-    # streaming (9) + er_eval (27) + multimodal (8) = 44 in full, plus
-    # representative curation and relational picks to give every family a
-    # driver row. The registry itself is unchanged — all 139 queries stay
-    # registered and strict-checked locally (CORRECTNESS_local_r04.json).
+    # DuckDB oracles. Rounds 1-4 banked driver-green rows for 107 of the 152
+    # registry queries (union of CORRECTNESS_r01-r04.json, zero failures).
+    # Round 5 leads with the 45 queries that have never been in a driver
+    # sample (the list enumerated in docs/ROUND4.md §Handoff, recomputed
+    # against the actual r01-r04 artifacts), so CORRECTNESS_r05.json
+    # completes driver verification of the full registry: 152/152 cumulative.
+    # The remaining 5 slots re-check the least-recently-driver-checked rows
+    # (3 last seen in r01, 2 in r02). The registry itself is unchanged — all
+    # 152 queries stay registered and strict-checked locally at three scale
+    # factors (CORRECTNESS_local_r05*.json).
     front = (
-        list(streaming.QUERIES)
-        + list(er_eval.QUERIES)
-        + list(multimodal.QUERIES)
-        + ["sample_split", "pack_shards", "decontaminate"]          # curation
-        + ["similar_names_by_nation", "events_asof_join", "pricing_rollup"]  # relational
+        [
+            # ANN / embedding family (r02-r03 banked the core; these are the deep variants)
+            "kmeans_cell_sample", "dedup_semantic", "ann_ivfpq_residual_topk",
+            "ann_multiprobe_topk", "embedding_dbscan",
+            # relational / events analytics
+            "fuzzy_join_one_to_one", "pricing_rollup_subtotals", "revenue_by_nation",
+            "events_json_extract", "events_funnel", "events_retention",
+            "data_quality_report", "events_window_attrib", "bloom_semijoin",
+            "setjoin_jaccard_docs", "setjoin_containment_docs", "basket_part_pairs",
+            # curation / corpus analytics
+            "sample_temperature", "sample_stratified", "chunk_documents",
+            "bm25_search", "corpus_profile", "text_redact_pii",
+            "code_clones_type2", "code_clones_type3", "curation_cut_spans",
+            "corpus_hll_distinct", "curation_funnel", "corpus_percentiles",
+            "corpus_cms_topk", "sample_weighted", "corpus_length_outliers",
+            # phonetic + LM-based curation gates
+            "phonetic_pairs", "text_perplexity", "quality_classifier_nb", "dsir_select",
+            # trade-off curves
+            "fs_threshold_curve", "blocking_window_curve",
+            # graph-clustering entity-formation family
+            "cluster_star", "cluster_merge_center", "cluster_pivot",
+            "cluster_quality", "cluster_algo_compare", "cluster_threshold_sweep",
+            "dedup_canonical_pivot",
+        ]
+        # least-recently-driver-checked refreshers (r01/r02 vintage)
+        + ["daily_event_stats", "events_sessionize", "top_customers_by_revenue",
+           "edjoin_docs", "fuzzy_join_customers"]
     )
     order = front + [q for q in queries if q not in set(front)]
     queries = {q: queries[q] for q in order}

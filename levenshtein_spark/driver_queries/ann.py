@@ -703,15 +703,21 @@ def _dd_kmeans_ctes(
     ``(vec_id, v)`` with ``v`` the float vector. Exact parity: quantized
     BIGINT per-dim sums (order-free), one correctly-rounded divide per
     centroid value, L2 argmin with ties to the lower cid, empty cells carry
-    the previous centroid."""
-    ctes = [f"{prefix}_src AS ({src_sql})"]
+    the previous centroid.
+
+    Every fragment is ``AS MATERIALIZED``: DuckDB's default CTE inlining
+    re-runs the whole unrolled trainer once per downstream reference (the
+    residual-PQ oracle referenced the chain ~10x, inflating its wall from
+    <1s to ~160s at sf0.01); materialization computes each step once with
+    bit-identical results (it only pins evaluation, never semantics)."""
+    ctes = [f"{prefix}_src AS MATERIALIZED ({src_sql})"]
     ctes.append(
-        f"{prefix}_xq AS (SELECT vec_id, v, "
+        f"{prefix}_xq AS MATERIALIZED (SELECT vec_id, v, "
         f"list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * {quant}.0) AS BIGINT)) AS q "
         f"FROM {prefix}_src)"
     )
     ctes.append(
-        f"{prefix}_cent0 AS (SELECT vec_id AS cid, "
+        f"{prefix}_cent0 AS MATERIALIZED (SELECT vec_id AS cid, "
         f"list_transform(v, x -> CAST(x AS DOUBLE)) AS cvec "
         f"FROM {prefix}_src WHERE vec_id < {k})"
     )
@@ -719,25 +725,25 @@ def _dd_kmeans_ctes(
         prev = f"{prefix}_cent{t - 1}"
         score = _dd_l2_score("e.v", "c.cvec")
         ctes.append(
-            f"""{prefix}_a{t} AS (
+            f"""{prefix}_a{t} AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cid AS cell,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {score} DESC, c.cid) AS rn
     FROM {prefix}_xq e CROSS JOIN {prev} c) s WHERE rn = 1)"""
         )
         ctes.append(
-            f"""{prefix}_u{t} AS (
+            f"""{prefix}_u{t} AS MATERIALIZED (
   SELECT a.cell, r.i AS dim, sum(e.q[r.i]) AS s, count(*) AS n
   FROM {prefix}_a{t} a JOIN {prefix}_xq e USING (vec_id), UNNEST(range(1, {dim + 1})) AS r(i)
   GROUP BY a.cell, r.i)"""
         )
         ctes.append(
-            f"""{prefix}_w{t} AS (
+            f"""{prefix}_w{t} AS MATERIALIZED (
   SELECT cell AS cid, list(CAST(s AS DOUBLE) / CAST(n * {quant} AS DOUBLE) ORDER BY dim) AS cvec
   FROM {prefix}_u{t} GROUP BY cell)"""
         )
         ctes.append(
-            f"""{prefix}_cent{t} AS (
+            f"""{prefix}_cent{t} AS MATERIALIZED (
   SELECT p.cid, COALESCE(w.cvec, p.cvec) AS cvec
   FROM {prev} p LEFT JOIN {prefix}_w{t} w ON w.cid = p.cid)"""
         )
@@ -746,7 +752,7 @@ def _dd_kmeans_ctes(
 
 _DD_IVF_CENT = ",\n".join(
     _dd_kmeans_ctes("ivfkm", "SELECT vec_id, embedding AS v FROM embeddings", _IVF_K, _DIM)
-) + f",\ncent AS (SELECT cid, cvec FROM ivfkm_cent{_KM_ITERS})"
+) + f",\ncent AS MATERIALIZED (SELECT cid, cvec FROM ivfkm_cent{_KM_ITERS})"
 
 
 def _dd_pq_cb_ctes() -> str:
@@ -764,7 +770,7 @@ def _dd_pq_cb_ctes() -> str:
         f"SELECT {m} AS m, cid AS code, cvec FROM pqkm{m}_cent{_KM_ITERS}"
         for m in range(_PQ_M)
     )
-    parts.append(f"cb AS ({union})")
+    parts.append(f"cb AS MATERIALIZED ({union})")
     return ",\n".join(parts)
 
 
@@ -1019,7 +1025,7 @@ WHERE rank <= {_TOP_K}
 # Final assignment with the trained centroids — one more round of the same
 # fixed-order L2 argmin the training CTEs use (ties to the lower cid).
 _DD_KM_FINAL_ASSIGN = f"""
-final_assign AS (
+final_assign AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cid AS cell,
            row_number() OVER (PARTITION BY e.vec_id
@@ -1077,7 +1083,7 @@ def _dd_rpq_cb_ctes() -> str:
         f"SELECT {m} AS m, cid AS code, cvec FROM rpq{m}_cent{_KM_ITERS}"
         for m in range(_PQ_M)
     )
-    parts.append(f"rcb AS ({union})")
+    parts.append(f"rcb AS MATERIALIZED ({union})")
     return ",\n".join(parts)
 
 
@@ -1085,7 +1091,7 @@ ORACLES["ann_ivfpq_residual_topk"] = f"""
 WITH ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
 {_DD_IVF_CENT},
 {_DD_KM_FINAL_ASSIGN},
-resid AS (
+resid AS MATERIALIZED (
   SELECT f.vec_id, f.cell,
          list_transform(range(1, {_DIM} + 1),
                         i -> CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) AS resid

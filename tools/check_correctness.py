@@ -137,16 +137,39 @@ def main() -> int:
             failures.append(name)
 
     if json_out:
-        n_ok = sum(1 for r in records.values() if r["status"] == "ok")
+        # Merge-safe artifact write: a subset run (--json OUT sf_dir q1 q2 ...)
+        # against an existing artifact updates those entries in place and
+        # RECOMPUTES the header from the merged map — the r04 artifact's
+        # n_ok=151-vs-152-entries drift came from a manual merge that bumped
+        # n_checked but not n_ok; headers are now derived, never hand-edited.
+        merged = dict(records)
+        extra = {}
+        if only:
+            import os
+
+            if os.path.exists(json_out):
+                with open(json_out) as fh:
+                    prev = json.load(fh)
+                if prev.get("sf_dir") != sf_dir:
+                    raise SystemExit(
+                        f"refusing to merge into {json_out}: sf_dir "
+                        f"{prev.get('sf_dir')} != {sf_dir}"
+                    )
+                merged = {**prev.get("queries", {}), **records}
+                extra = {k: v for k, v in prev.items() if k not in
+                         ("sf_dir", "checker", "n_checked", "n_ok", "n_fail", "queries")}
+        n_ok = sum(1 for r in merged.values() if r["status"] == "ok")
+        n_fail = sum(1 for r in merged.values() if r["status"] == "fail")
         with open(json_out, "w") as fh:
             json.dump(
                 {
                     "sf_dir": sf_dir,
                     "checker": "tools/check_correctness.py (strict cell equality)",
-                    "n_checked": len(records),
+                    "n_checked": len(merged),
                     "n_ok": n_ok,
-                    "n_fail": len(failures),
-                    "queries": records,
+                    "n_fail": n_fail,
+                    "queries": merged,
+                    **extra,
                 },
                 fh,
                 indent=1,
