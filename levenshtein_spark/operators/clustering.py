@@ -74,6 +74,7 @@ def connected_components(
     max_iterations: int = 50,
     checkpoint_dir: str | None = None,
     steps_per_check: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edge list (src, dst) → labels (id, cluster_id) for every edge endpoint.
 
@@ -103,6 +104,9 @@ def connected_components(
 
     e = materialize(_canon(edges, "src", "dst"), 0)
     sig = _signature(e)  # materializes round 0 + counts in one job
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["edges_per_round"] = [sig[0]]
     if sig[0] == 0:
         return spark.createDataFrame([], "id string, cluster_id string")
 
@@ -118,6 +122,9 @@ def connected_components(
             e = _small_star(_large_star(e))
         e = materialize(e, rnd)
         new_sig = _signature(e)
+        if stats is not None:
+            stats["rounds"] = rnd
+            stats["edges_per_round"].append(new_sig[0])
         if new_sig == sig:
             break
         sig = new_sig
@@ -131,11 +138,14 @@ def connected_components(
 
 
 def cluster_labels(
-    all_ids: DataFrame, edges: DataFrame, checkpoint_dir: str | None = None
+    all_ids: DataFrame,
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Labels for every row id: component root for matched rows, self for
     singletons. ``all_ids`` must have column ``id``."""
-    comp = connected_components(edges, checkpoint_dir=checkpoint_dir)
+    comp = connected_components(edges, checkpoint_dir=checkpoint_dir, stats=stats)
     return (
         all_ids.select("id")
         .join(comp, "id", "left")
@@ -250,16 +260,25 @@ def star_labels(all_ids: DataFrame, edges: DataFrame) -> DataFrame:
     two aggregations (max degree, then min id at that degree) — no window,
     no neighbor-list materialization. No iteration, nothing wider than the
     edge stream.
+
+    ``sym`` and ``deg`` are lineage-truncated (lazy ``localCheckpoint``),
+    not merely persisted: the operator composes them into nearly every
+    downstream frame, and because each logical-plan reference embeds a full
+    COPY of the subtree, composing over the raw upstream scoring plan makes
+    Catalyst re-analyze a tree that grows multiplicatively — at sf0.01 that
+    was seconds of pure driver planning per action (and an OOM when four
+    such trees were unioned). Truncation makes them flat leaves; the cached
+    data is identical.
     """
     from levenshtein_spark.session import scoped_persist
 
-    sym = _sym_neighbors(edges).transform(scoped_persist)
+    sym = _sym_neighbors(edges).localCheckpoint(eager=False)
     deg = (
         all_ids.select("id")
         .join(sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg")),
               F.col("id") == F.col("v"), "left")
         .select("id", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
-        .transform(scoped_persist)
+        .localCheckpoint(eager=False)
     )
     # (v, v_deg, nb, nb_deg) — each edge endpoint with both degrees
     nbd = (
@@ -303,7 +322,10 @@ def star_labels(all_ids: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def merge_center_labels(
-    all_ids: DataFrame, edges: DataFrame, star: DataFrame | None = None
+    all_ids: DataFrame,
+    edges: DataFrame,
+    star: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """MERGE-CENTER (Hassanzadeh & Miller, VLDBJ 2009) re-expressed over the
     parallel star assignment: ``(id, cluster_id)``.
@@ -320,13 +342,16 @@ def merge_center_labels(
     Sits strictly between star (no merging, highest precision) and
     connected components (merge through ANY path, highest recall) — the
     VLDBJ evaluation's middle ground.
-    """
-    from levenshtein_spark.session import scoped_persist
 
-    sym = _sym_neighbors(edges).transform(scoped_persist)
+    ``sym`` and ``star`` are lineage-truncated (lazy ``localCheckpoint``)
+    for the same reason as in :func:`star_labels`: both are composed into
+    several downstream joins, and each logical reference copies the whole
+    upstream subtree into the plan.
+    """
+    sym = _sym_neighbors(edges).localCheckpoint(eager=False)
     if star is None:
         star = star_labels(all_ids, edges)
-    star = star.transform(scoped_persist)
+    star = star.localCheckpoint(eager=False)
     centers = star.where("is_center").select("id")
     # center pairs sharing a common neighbor (covers direct adjacency too:
     # for adjacent centers c1-c2, c2 is a node adjacent to both by symmetry
@@ -344,7 +369,19 @@ def merge_center_labels(
         .where(F.col("v") < F.col("nb"))
         .select(F.col("v").alias("src"), F.col("nb").alias("dst"))
     )
-    merged = cluster_labels(centers, shared.unionByName(adjacent)).select(
+    merge_graph = shared.unionByName(adjacent)
+    if stats is not None:
+        # bench/diagnostic mode: materialize the contraction census the
+        # scale argument rests on (centers, merge-graph edges, closure
+        # rounds over the center graph)
+        merge_graph = merge_graph.localCheckpoint(eager=False)
+        stats["n_centers"] = centers.count()
+        stats["n_merge_edges"] = merge_graph.count()
+        stats["closure"] = {}
+    merged = cluster_labels(
+        centers, merge_graph,
+        stats=None if stats is None else stats["closure"],
+    ).select(
         F.col("id").alias("ctr"), F.col("cluster_id").alias("merged_cl")
     )
     return (
@@ -461,6 +498,11 @@ def pivot_labels(
         .groupBy("v")
         .agg(F.min(F.struct(F.col("nbk"), F.col("nb").alias("pid"))).alias("best"))
         .select(F.col("v").alias("id"), F.col("best.pid").alias("cluster_id"))
+        # anchor on the id universe: the attachment is derived from the raw
+        # symmetric edge stream, so an edge endpoint outside all_ids that
+        # neighbors a pivot would otherwise be emitted (unlike star_labels,
+        # which anchors every output row on all_ids)
+        .join(all_ids.select("id"), "id", "leftsemi")
     )
     return (
         pset.select("id", F.col("id").alias("cluster_id"))

@@ -70,3 +70,24 @@ def random_affixed_pair(
         suf = random_word(rng, int(rng.integers(1, affix_max + 1)))
         base, edited = base + suf, edited + suf
     return base, edited
+
+
+def binomial_corpus(rng: np.random.Generator, n: int) -> list[bytes]:
+    """Taxanames-style binomial names ('Genus species'), letter-frequency
+    letters like the reference's generator (tests/taxanames is a 111,065-name
+    corpus of this shape) — vectorized for speed."""
+    g_len = rng.integers(5, 13, n)
+    s_len = rng.integers(4, 15, n)
+    total = int((g_len + s_len).sum())
+    letters = rng.choice(26, size=total, p=_FREQ)
+    lookup = np.frombuffer(_LETTERS.encode(), np.uint8)
+    buf = lookup[letters]
+    names = []
+    pos = 0
+    for i in range(n):
+        g = buf[pos : pos + g_len[i]].tobytes()
+        pos += int(g_len[i])
+        s = buf[pos : pos + s_len[i]].tobytes()
+        pos += int(s_len[i])
+        names.append((g[:1].upper() + g[1:]) + b" " + s)
+    return names

@@ -77,24 +77,10 @@ def test_reference_scale_differential(kind):
     assert not failures, failures[:5]
 
 
-def _binomial_corpus(rng: np.random.Generator, n: int) -> list[bytes]:
-    """111k taxanames-style binomial names ('Genus species'), letter-frequency
-    letters like the reference's generator — vectorized for speed."""
-    g_len = rng.integers(5, 13, n)
-    s_len = rng.integers(4, 15, n)
-    total = int((g_len + s_len).sum())
-    letters = rng.choice(26, size=total, p=_FREQ)
-    lookup = np.frombuffer(_LETTERS.encode(), np.uint8)
-    buf = lookup[letters]
-    names = []
-    pos = 0
-    for i in range(n):
-        g = buf[pos : pos + g_len[i]].tobytes()
-        pos += int(g_len[i])
-        s = buf[pos : pos + s_len[i]].tobytes()
-        pos += int(s_len[i])
-        names.append((g[:1].upper() + g[1:]) + b" " + s)
-    return names
+# moved to tests/gen.py so the default-gate reduced variant
+# (tests/test_kernel_corpus.py) can share it without importing this
+# slow-marked module
+from tests.gen import binomial_corpus as _binomial_corpus  # noqa: E402
 
 
 @pytest.mark.nightly

@@ -1,18 +1,26 @@
-"""Scale evidence for KwikCluster pivot clustering (operators/clustering.py).
+"""Scale evidence for the iterative graph-clustering family
+(operators/clustering.py): KwikCluster pivot AND merge-center.
 
-Synthetic deterministic random graphs at two sizes (10x apart), generated
-distributed (no driver-side edge list): nodes 1..N, E = 3N edges with
-xxhash64-derived endpoints — a supercritical sparse regime (giant component
-plus fringe), the adversarial case for round counts.
+Synthetic deterministic random graphs at three sizes (10x apart each),
+generated distributed (no driver-side edge list): nodes 1..N, E = 3N edges
+with xxhash64-derived endpoints — a supercritical sparse regime (giant
+component plus fringe), the adversarial case for round counts.
 
-Reports, per size: wall, MIS rounds, the per-round active-set decay, and
-cluster count — the claim under test is rounds ~ O(log N) (Blelloch/
-Fineman/Shun for greedy-MIS random-order rounds), so 10x the graph should
-add ~constant rounds, not 10x, and wall should track the edge count, not
-N^2. An invariant check (every member adjacent to its pivot; pivots form
-an independent set) runs on the small config via a collected sample.
+Per size and algorithm it reports wall, the iteration counts, and the
+per-round decay — the claims under test:
 
-Writes BENCH/pivot_scale.json.
+* pivot:  MIS rounds ~ O(log N) (Blelloch/Fineman/Shun for greedy-MIS
+  random-order rounds), so 10x the graph should add ~constant rounds and
+  wall should track edge count, not N^2. Invariant check (members adjacent
+  to their pivot; pivots an independent set) runs on a small config.
+* merge-center: the center-graph closure runs on a CONTRACTION of the
+  match graph (centers only, merged when adjacent or sharing a neighbor),
+  so its star-contraction rounds should stay flat with N exactly like the
+  pivot rounds and the main closure loop — this is the round-count table
+  VERDICT r04 asked for (the one iterative operator that lacked it).
+
+Writes BENCH/pivot_scale.json (pivot track, same shape the r04 artifact
+established) and BENCH/merge_center_scale.json (merge-center track).
 """
 
 from __future__ import annotations
@@ -25,8 +33,10 @@ sys.path.insert(0, ".")
 
 import pyspark.sql.functions as F
 
-from levenshtein_spark.operators.clustering import pivot_labels
+from levenshtein_spark.operators.clustering import merge_center_labels, pivot_labels
 from levenshtein_spark.session import get_spark, release_caches
+
+SIZES = [100_000, 1_000_000, 10_000_000]
 
 
 def graph(spark, n: int, seed: int):
@@ -42,7 +52,7 @@ def graph(spark, n: int, seed: int):
     return ids, e
 
 
-def run(spark, n: int, seed: int = 7) -> dict:
+def run_pivot(spark, n: int, seed: int = 7) -> dict:
     ids, e = graph(spark, n, seed)
     stats: dict = {}
     t0 = time.perf_counter()
@@ -58,6 +68,29 @@ def run(spark, n: int, seed: int = 7) -> dict:
         "wall_s": round(wall, 2),
         "rounds": stats["rounds"],
         "active_per_round": stats["active_per_round"],
+        "n_labeled": int(n_labeled),
+        "n_clusters": int(n_clusters),
+    }
+
+
+def run_merge_center(spark, n: int, seed: int = 7) -> dict:
+    ids, e = graph(spark, n, seed)
+    stats: dict = {}
+    t0 = time.perf_counter()
+    labels = merge_center_labels(ids, e, stats=stats)
+    n_labeled, n_clusters = labels.agg(
+        F.count(F.lit(1)), F.countDistinct("cluster_id")
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+    release_caches(spark)
+    return {
+        "n_nodes": n,
+        "n_edges_drawn": 3 * n,
+        "wall_s": round(wall, 2),
+        "n_centers": stats["n_centers"],
+        "n_merge_edges": stats["n_merge_edges"],
+        "closure_rounds": stats["closure"].get("rounds", 0),
+        "closure_edges_per_round": stats["closure"].get("edges_per_round", []),
         "n_labeled": int(n_labeled),
         "n_clusters": int(n_clusters),
     }
@@ -89,19 +122,33 @@ def check_invariants(spark, n: int = 20000, seed: int = 7) -> dict:
     return {"n": n, "non_adjacent_members": int(bad_member), "pivot_pivot_edges": int(bad_pivot)}
 
 
+def _scaling_summary(out: dict) -> None:
+    configs = out["configs"]
+    rkey = "rounds" if "rounds" in configs[0] else "closure_rounds"
+    out["wall_ratio_10x"] = round(configs[1]["wall_s"] / configs[0]["wall_s"], 2)
+    out["rounds_delta_10x"] = configs[1][rkey] - configs[0][rkey]
+    if len(configs) > 2:
+        out["wall_ratio_100x"] = round(configs[2]["wall_s"] / configs[0]["wall_s"], 2)
+        out["rounds_delta_100x"] = configs[2][rkey] - configs[0][rkey]
+
+
 def main() -> None:
     spark = get_spark("bench_pivot")
     spark.sparkContext.setLogLevel("ERROR")
-    out = {
+    pivot_out = {
         "invariants": check_invariants(spark),
-        "configs": [run(spark, 100_000), run(spark, 1_000_000)],
+        "configs": [run_pivot(spark, n) for n in SIZES],
     }
-    a, b = out["configs"]
-    out["wall_ratio_10x"] = round(b["wall_s"] / a["wall_s"], 2)
-    out["rounds_delta_10x"] = b["rounds"] - a["rounds"]
-    print(json.dumps(out, indent=2))
+    _scaling_summary(pivot_out)
+    print(json.dumps(pivot_out, indent=2))
     with open("BENCH/pivot_scale.json", "w") as f:
-        json.dump(out, f, indent=2)
+        json.dump(pivot_out, f, indent=2)
+
+    mc_out = {"configs": [run_merge_center(spark, n) for n in SIZES]}
+    _scaling_summary(mc_out)
+    print(json.dumps(mc_out, indent=2))
+    with open("BENCH/merge_center_scale.json", "w") as f:
+        json.dump(mc_out, f, indent=2)
 
 
 if __name__ == "__main__":
