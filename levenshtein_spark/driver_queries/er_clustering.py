@@ -197,12 +197,15 @@ def q_cluster_algo_compare(spark: SparkSession, sf: str) -> DataFrame:
     shares the gold side once instead of four times.
 
     The independent computations (gold closure; cc; pivot; star followed by
-    its dependent merge-center) run as CONCURRENT Spark jobs from a thread
-    pool — their iterative loops are driver-sequential action chains whose
-    scheduling gaps would otherwise serialize, while on a cluster the
-    executors sit idle between rounds; overlapping them puts the wall at
-    the slowest chain instead of the sum."""
-    from concurrent.futures import ThreadPoolExecutor
+    its dependent merge-center) run as CONCURRENT Spark jobs on
+    ``pyspark.InheritableThread``s — their iterative loops are
+    driver-sequential action chains whose scheduling gaps would otherwise
+    serialize, while on a cluster the executors sit idle between rounds;
+    overlapping them puts the wall at the slowest chain instead of the
+    sum. InheritableThread (not a plain thread pool) so the branches
+    inherit the caller's job group / local properties (cancellation reaches
+    them) and their pinned-mode JVM threads are cleaned up on exit."""
+    from pyspark import InheritableThread
 
     ids = _ids(spark, sf).transform(scoped_persist)
     edges = _snm_pred_edges(spark, sf).transform(scoped_persist)
@@ -221,19 +224,37 @@ def q_cluster_algo_compare(spark: SparkSession, sf: str) -> DataFrame:
         mc = merge_center_labels(ids, edges, star=star).localCheckpoint(eager=True)
         return star.select("id", "cluster_id"), mc
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        f_gold = pool.submit(gold_branch)
-        f_star_mc = pool.submit(star_then_merge)
-        f_cc = pool.submit(lambda: cluster_labels(ids, edges).localCheckpoint(eager=True))
-        f_pivot = pool.submit(lambda: pivot_labels(ids, edges).localCheckpoint(eager=True))
-        gold_pairs = f_gold.result()
-        star_slim, mc = f_star_mc.result()
-        algos = {
-            "cc": f_cc.result(),
-            "star": star_slim,
-            "merge_center": mc,
-            "pivot": f_pivot.result(),
-        }
+    results: dict = {}
+    errors: dict = {}
+
+    def runner(key, fn):
+        def run():
+            try:
+                results[key] = fn()
+            except BaseException as exc:  # surfaced on the caller thread below
+                errors[key] = exc
+        return InheritableThread(target=run, name=f"algo_compare_{key}")
+
+    threads = [
+        runner("gold", gold_branch),
+        runner("star_mc", star_then_merge),
+        runner("cc", lambda: cluster_labels(ids, edges).localCheckpoint(eager=True)),
+        runner("pivot", lambda: pivot_labels(ids, edges).localCheckpoint(eager=True)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise next(iter(errors.values()))
+    gold_pairs = results["gold"]
+    star_slim, mc = results["star_mc"]
+    algos = {
+        "cc": results["cc"],
+        "star": star_slim,
+        "merge_center": mc,
+        "pivot": results["pivot"],
+    }
     # localCheckpoint before the union: each labeling carries the deep
     # lineage of its iterative loop, and the 4-way union of those DAGs makes
     # every downstream action re-plan (and even stringify) a plan tree big

@@ -114,7 +114,18 @@ def release_caches(include_pinned: bool = False) -> int:
     Returns the number released. Safe to call at any time — caches are only
     dropped, never invalidated mid-plan, because callers release AFTER
     materializing the consuming query. Pinned caches (cut-pinning persists,
-    see :func:`pinned_persist`) are kept unless ``include_pinned``."""
+    see :func:`pinned_persist`) are kept unless ``include_pinned``.
+
+    ``localCheckpoint`` storage (the clustering operators truncate lineage
+    with it; see operators/clustering.py) is NOT registered here — a
+    checkpointed frame cannot be unpersisted without breaking any plan
+    that still references it, because its lineage is gone by design. Those
+    blocks are reclaimed by Spark's ContextCleaner once the frames become
+    unreachable, which in practice means after the consuming query's
+    DataFrames go out of scope; the ``include_pinned`` release (the
+    "query fully materialized, nothing will be re-evaluated" signal the
+    harnesses send per query) nudges both collectors so reclamation is
+    prompt rather than whenever the next full GC happens to run."""
     n = 0
     while _SCOPED_CACHES:
         _SCOPED_CACHES.pop().unpersist()
@@ -123,6 +134,15 @@ def release_caches(include_pinned: bool = False) -> int:
         while _PINNED_CACHES:
             _PINNED_CACHES.pop().unpersist()
             n += 1
+        import gc
+
+        gc.collect()  # drop py4j refs of dead DataFrames -> JVM side can free
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            try:
+                spark.sparkContext._jvm.System.gc()  # lets ContextCleaner reap checkpoint RDDs
+            except Exception:
+                pass  # a stopped/stopping context is fine — nothing to reclaim
     return n
 
 

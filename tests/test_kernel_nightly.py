@@ -17,7 +17,7 @@ import pytest
 from levenshtein_spark.kernel import batch_edit_distance
 from levenshtein_spark.oracle import ref_edit_distance
 
-from tests.gen import EDIT_TYPES, _FREQ, _LETTERS, apply_edits, random_affixed_pair
+from tests.gen import EDIT_TYPES, apply_edits, random_affixed_pair
 from tests.oracle_batch import batch_osa_full
 
 N_PAIRS = 100_000
